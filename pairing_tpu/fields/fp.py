@@ -1,0 +1,513 @@
+"""Vectorized BN254 base-field (Fq) arithmetic over int32 limb arrays.
+
+This layer replaces the reference's arkworks ``Fq`` + plonky2-bn254
+``FqTarget`` value layer (SURVEY.md §2.3 C9/C14) with a TPU-native design:
+
+  * an element batch is an int32 array ``[..., NLIMBS]`` — radix ``2^13``,
+    21 limbs (273 bits), so limb products and 21-term position sums fit
+    comfortably in int32 lanes (21 * (2^13)^2 < 2^31);
+  * multiplication is SOS Montgomery with ``R = 2^273``: since ``R > 4p``,
+    outputs are bounded by ``2p`` without any conditional subtraction
+    (Walter's bound), keeping every op branchless and lane-parallel;
+  * carry propagation is a fixed number of data-parallel shift/mask rounds
+    ("quasi-carry") instead of a sequential ripple — limbs settle to
+    ``[0, 2^13]`` (note: inclusive), which every bound below accounts for;
+  * value/limb bounds are tracked *statically* (Python ints at trace time),
+    so reductions are auto-inserted only where a bound could overflow.
+
+The lazy/wide API (``mul_wide``, ``WideAcc``, ``mont_reduce``) lets the
+Fq2/Fq12 towers accumulate unreduced products and pay one Montgomery
+reduction per output coefficient — the TPU analogue of halo2-lib's lazy
+carries.
+
+All functions are shape-polymorphic in the leading (batch) dimensions and
+jit/vmap/shard_map compatible; no Python branches depend on traced values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bn254 import P
+
+# ---------------------------------------------------------------------------
+# Limb configuration
+# ---------------------------------------------------------------------------
+
+RADIX_BITS = 13
+RADIX = 1 << RADIX_BITS
+MASK = RADIX - 1
+NLIMBS = 21
+assert NLIMBS * RADIX_BITS >= 254 + 13  # headroom: R > 4p (Walter bound)
+
+#: Montgomery radix R = 2^273.
+R_MONT = 1 << (RADIX_BITS * NLIMBS)
+assert R_MONT > 4 * P
+
+R2_MOD_P = (R_MONT * R_MONT) % P
+R_MOD_P = R_MONT % P
+#: N' = -p^{-1} mod R  (so p * N' == -1 mod R).
+NPRIME = (-pow(P, -1, R_MONT)) % R_MONT
+
+#: Max value bound accepted by mul without an auto weak-reduction.
+#: products must satisfy a*b < ~R*p/128 to leave headroom for 12-term
+#: wide accumulation with small scalar factors in the towers.
+MAX_MUL_INPUT = 1 << 258
+
+WIDE_NLIMBS = 2 * NLIMBS + 2  # 44 positions: products + accumulation headroom
+
+
+def int_to_limbs(x: int, n: int = NLIMBS) -> np.ndarray:
+    assert 0 <= x < (1 << (RADIX_BITS * n)), "value does not fit"
+    out = np.zeros((n,), dtype=np.int32)
+    for i in range(n):
+        out[i] = x & MASK
+        x >>= RADIX_BITS
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    arr = np.asarray(limbs, dtype=np.int64)
+    return sum(int(v) << (RADIX_BITS * i) for i, v in enumerate(arr))
+
+
+@lru_cache(maxsize=None)
+def _const_limbs(value: int, n: int = NLIMBS) -> np.ndarray:
+    return int_to_limbs(value, n)
+
+
+P_LIMBS = _const_limbs(P)
+NPRIME_LIMBS = _const_limbs(NPRIME)
+
+# ---------------------------------------------------------------------------
+# Fp value container (pytree with static bounds)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Fp:
+    """A batch of Fq elements: ``limbs`` int32 ``[..., NLIMBS]``.
+
+    ``bound`` (static): the represented value is < bound.
+    ``limb_bound`` (static): every limb is <= limb_bound.
+    Values are *redundant* (not reduced mod p) until ``canonical()``.
+    """
+
+    limbs: jnp.ndarray
+    bound: int = 2 * P
+    limb_bound: int = RADIX
+
+    def tree_flatten(self):
+        return (self.limbs,), (self.bound, self.limb_bound)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def batch_shape(self):
+        return self.limbs.shape[:-1]
+
+
+def fp_from_int(x: int, batch_shape: Tuple[int, ...] = ()) -> Fp:
+    """Host int -> broadcast Fp (non-Montgomery domain)."""
+    limbs = jnp.broadcast_to(
+        jnp.asarray(_const_limbs(x % P)), batch_shape + (NLIMBS,)
+    )
+    return Fp(limbs, bound=P, limb_bound=MASK)
+
+
+def fp_from_ints(xs: Sequence[int]) -> Fp:
+    """Host int list -> Fp batch of shape [len(xs)]."""
+    arr = np.stack([int_to_limbs(x % P) for x in xs])
+    return Fp(jnp.asarray(arr), bound=P, limb_bound=MASK)
+
+
+def fp_to_ints(a: Fp) -> np.ndarray:
+    """Device -> host python ints (object array over batch)."""
+    limbs = np.asarray(a.limbs)
+    flat = limbs.reshape(-1, NLIMBS)
+    vals = np.array([limbs_to_int(row) for row in flat], dtype=object)
+    return vals.reshape(a.batch_shape or (1,))
+
+
+# ---------------------------------------------------------------------------
+# Carry propagation
+# ---------------------------------------------------------------------------
+
+
+def _carry_round(x: jnp.ndarray) -> jnp.ndarray:
+    """One data-parallel carry round; value-preserving, needs top headroom."""
+    lo = jnp.bitwise_and(x, MASK)
+    hi = jnp.right_shift(x, RADIX_BITS)  # arithmetic shift: signed-safe
+    return lo + jnp.concatenate(
+        [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1
+    )
+
+
+#: Limbs <= SETTLED count as carry-settled; all op bounds assume it
+#: (21 * SETTLED^2 < 2^31 keeps schoolbook position sums in int32).
+SETTLED = RADIX + 1
+assert NLIMBS * SETTLED * SETTLED < 2**31
+
+
+def _rounds_needed(limb_bound: int) -> int:
+    rounds = 0
+    b = limb_bound
+    while b > SETTLED:
+        b = MASK + (b >> RADIX_BITS) + 1
+        rounds += 1
+    return rounds
+
+
+def quasi_carry(x: jnp.ndarray, limb_bound: int, signed: bool = False) -> jnp.ndarray:
+    """Carry-settle ``x`` so limbs lie in [0, SETTLED]. ``limb_bound`` is the
+    static magnitude bound of input positions. Extra rounds are run for
+    signed inputs so borrows resolve."""
+    rounds = _rounds_needed(limb_bound) + (3 if signed else 0)
+    for _ in range(rounds):
+        x = _carry_round(x)
+    return x
+
+
+def _ripple_carry(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact sequential carry; returns (canonical digits, carry-out)."""
+    moved = jnp.moveaxis(x, -1, 0)
+
+    def step(c, limb):
+        t = limb + c
+        return jnp.right_shift(t, RADIX_BITS), jnp.bitwise_and(t, MASK)
+
+    carry, digits = jax.lax.scan(step, jnp.zeros_like(moved[0]), moved)
+    return jnp.moveaxis(digits, 0, -1), carry
+
+
+# ---------------------------------------------------------------------------
+# Wide (unreduced) products
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class WideAcc:
+    """Unreduced product accumulator: int32 ``[..., WIDE_NLIMBS]``.
+
+    ``val_bound``: the represented integer value is < val_bound.
+    ``limb_bound``: every limb is <= limb_bound (must stay < 2^31 headroom).
+    """
+
+    limbs: jnp.ndarray
+    val_bound: int
+    limb_bound: int
+
+    def tree_flatten(self):
+        return (self.limbs,), (self.val_bound, self.limb_bound)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+def _mul_wide_raw(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
+    """Schoolbook limb product, positions 0..ncols-1 (static shift-adds)."""
+    batch = a.shape[:-1]
+    acc = jnp.zeros(batch + (ncols,), dtype=jnp.int32)
+    for i in range(NLIMBS):
+        take = min(NLIMBS, ncols - i)
+        if take <= 0:
+            break
+        term = a[..., i : i + 1] * b[..., :take]
+        acc = acc.at[..., i : i + take].add(term)
+    return acc
+
+
+def mul_wide(a: Fp, b: Fp) -> WideAcc:
+    """a*b as a carried wide accumulator (no reduction)."""
+    a, b = _prepare_mul_operand(a), _prepare_mul_operand(b)
+    return _mul_wide_noprep(a, b)
+
+
+def wide_add(x: WideAcc, y: WideAcc) -> WideAcc:
+    lb = x.limb_bound + y.limb_bound
+    assert lb < 2**31
+    return WideAcc(x.limbs + y.limbs, x.val_bound + y.val_bound, lb)
+
+
+def wide_scale(x: WideAcc, k: int) -> WideAcc:
+    """Scale by small non-negative static int."""
+    assert k >= 0
+    lb = x.limb_bound * k
+    assert lb < 2**31
+    return WideAcc(x.limbs * k, x.val_bound * k, lb)
+
+
+def wide_zero(batch_shape: Tuple[int, ...]) -> WideAcc:
+    return WideAcc(
+        jnp.zeros(batch_shape + (WIDE_NLIMBS,), jnp.int32), val_bound=1, limb_bound=0
+    )
+
+
+def wide_from_fp(a: Fp) -> WideAcc:
+    """Embed an Fp into a wide accumulator (e.g. for t + sum(products))."""
+    pad = jnp.zeros(a.batch_shape + (WIDE_NLIMBS - NLIMBS,), jnp.int32)
+    return WideAcc(
+        jnp.concatenate([a.limbs, pad], axis=-1),
+        val_bound=a.bound,
+        limb_bound=a.limb_bound,
+    )
+
+
+def mont_reduce(t: WideAcc) -> Fp:
+    """Montgomery reduction: value(t) * R^{-1} mod p, output < t/R + ~p.
+
+    SOS shape: m = (t mod R) * N' mod R, out = (t + m*p) / R. The division
+    is exact; the low-half carry-out is recovered via the {0, R} dichotomy
+    (low part value is a multiple of R bounded by ~R, so it is 0 or R).
+    """
+    assert t.val_bound <= R_MONT * P * 16, "wide accumulator too large to reduce"
+    if t.limb_bound > SETTLED:
+        t = WideAcc(quasi_carry(t.limbs, t.limb_bound), t.val_bound, SETTLED)
+
+    lo = t.limbs[..., :NLIMBS]
+    np_limbs = jnp.asarray(NPRIME_LIMBS)
+    m_raw = _mul_wide_raw(lo, jnp.broadcast_to(np_limbs, lo.shape), NLIMBS + 1)
+    m = quasi_carry(m_raw, NLIMBS * SETTLED * MASK)[..., :NLIMBS]
+
+    p_limbs = jnp.broadcast_to(jnp.asarray(P_LIMBS), m.shape)
+    u_raw = _mul_wide_raw(m, p_limbs, WIDE_NLIMBS)
+    s = quasi_carry(u_raw + t.limbs, NLIMBS * SETTLED * MASK + SETTLED)
+
+    carry_out = jnp.any(s[..., :NLIMBS] != 0, axis=-1).astype(jnp.int32)
+    hi = s[..., NLIMBS : 2 * NLIMBS]
+    out = hi.at[..., 0].add(carry_out)
+    # m <= R(1 + 2^-13)  =>  out < t/R + p(1 + 2^-12); track that slack so
+    # canonical()'s weak-reduce loop converges below 2p.
+    bound = t.val_bound // R_MONT + P + (P >> 10) + 1
+    return Fp(out, bound=bound, limb_bound=SETTLED)
+
+
+def _mul_wide_noprep(a: Fp, b: Fp) -> WideAcc:
+    assert a.limb_bound <= SETTLED and b.limb_bound <= SETTLED
+    raw = _mul_wide_raw(a.limbs, b.limbs, WIDE_NLIMBS)
+    carried = quasi_carry(raw, NLIMBS * a.limb_bound * b.limb_bound)
+    return WideAcc(carried, val_bound=a.bound * b.bound, limb_bound=SETTLED)
+
+
+def _prepare_mul_operand(a: Fp) -> Fp:
+    if a.limb_bound > SETTLED:
+        a = Fp(quasi_carry(a.limbs, a.limb_bound), a.bound, SETTLED)
+    if a.bound > MAX_MUL_INPUT:
+        a = weak_reduce(a)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# Fp ops
+# ---------------------------------------------------------------------------
+
+
+def fp_add(a: Fp, b: Fp) -> Fp:
+    lb = a.limb_bound + b.limb_bound
+    assert a.bound + b.bound < R_MONT
+    out = Fp(a.limbs + b.limbs, a.bound + b.bound, lb)
+    if lb > 2**29:
+        out = Fp(quasi_carry(out.limbs, lb), out.bound, SETTLED)
+    return out
+
+
+def fp_neg(a: Fp) -> Fp:
+    """kp - a for the smallest multiple kp >= bound(a); branchless."""
+    k = -(-a.bound // P)  # ceil
+    kp_np = _const_limbs(k * P, NLIMBS + 1)
+    x = jnp.asarray(kp_np) - jnp.concatenate(
+        [a.limbs, jnp.zeros(a.batch_shape + (1,), jnp.int32)], axis=-1
+    )
+    limb_in = int(kp_np.max()) + a.limb_bound
+    limbs = quasi_carry(x, limb_in, signed=True)[..., :NLIMBS]
+    return Fp(limbs, bound=k * P + 1, limb_bound=SETTLED)
+
+
+def fp_sub(a: Fp, b: Fp) -> Fp:
+    """a - b + kp for the smallest kp >= bound(b); branchless signed carry."""
+    k = -(-b.bound // P)
+    kp_np = _const_limbs(k * P, NLIMBS + 1)
+    ext = lambda x: jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (1,), jnp.int32)], axis=-1
+    )
+    x = ext(a.limbs) - ext(b.limbs) + jnp.asarray(kp_np)
+    bound = a.bound + k * P
+    assert bound < R_MONT, "subtraction bound overflow; weak_reduce operands"
+    limb_in = a.limb_bound + b.limb_bound + int(kp_np.max())
+    limbs = quasi_carry(x, limb_in, signed=True)
+    return Fp(limbs[..., :NLIMBS], bound, SETTLED)
+
+
+def fp_scale(a: Fp, k: int) -> Fp:
+    """Multiply by a small static non-negative int."""
+    assert 0 <= k
+    lb = a.limb_bound * k
+    assert lb < 2**31
+    out = Fp(a.limbs * k, a.bound * k, lb)
+    if lb > 2**29:
+        out = Fp(quasi_carry(out.limbs, lb), out.bound, SETTLED)
+    return out
+
+
+def mont_mul(a: Fp, b: Fp) -> Fp:
+    return mont_reduce(mul_wide(a, b))
+
+
+@lru_cache(maxsize=None)
+def _cached_const_fp(value: int) -> np.ndarray:
+    return int_to_limbs(value % P)
+
+
+def fp_const(value: int, batch_shape: Tuple[int, ...] = ()) -> Fp:
+    limbs = jnp.broadcast_to(
+        jnp.asarray(_cached_const_fp(value)), batch_shape + (NLIMBS,)
+    )
+    return Fp(limbs, bound=P, limb_bound=MASK)
+
+
+def fp_mont_one(batch_shape: Tuple[int, ...] = ()) -> Fp:
+    """R mod p — the Montgomery-domain representation of 1."""
+    return fp_const(R_MOD_P, batch_shape)
+
+
+def fp_const_mont(value: int, batch_shape: Tuple[int, ...] = ()) -> Fp:
+    """Host constant, pre-converted to the Montgomery domain (value * R)."""
+    return fp_const((value % P) * R_MONT % P, batch_shape)
+
+
+def to_mont(a: Fp) -> Fp:
+    return mont_mul(a, fp_const(R2_MOD_P))
+
+
+def from_mont(a: Fp) -> Fp:
+    return mont_reduce(wide_from_fp(a))
+
+
+def weak_reduce(a: Fp) -> Fp:
+    """Shrink the value bound without leaving the Montgomery domain
+    (multiplies by (R mod p) * R^{-1} = 1 mod p)."""
+    if a.limb_bound > SETTLED:
+        a = Fp(quasi_carry(a.limbs, a.limb_bound), a.bound, SETTLED)
+    one = fp_mont_one()
+    return mont_reduce(_mul_wide_noprep(a, Fp(one.limbs, one.bound, MASK)))
+
+
+def canonical(a: Fp) -> Fp:
+    """Fully reduced representative in [0, p), canonical digits."""
+    while a.bound > 2 * P:
+        a = weak_reduce(a)
+    digits, carry = _ripple_carry(a.limbs)
+    del carry  # zero by bound < 2p < R
+    p_limbs = jnp.asarray(P_LIMBS)
+    diff, borrow = _ripple_carry(digits - p_limbs)
+    ge_p = (borrow >= 0)[..., None]
+    out = jnp.where(ge_p, diff, digits)
+    return Fp(out, bound=P, limb_bound=MASK)
+
+
+def fp_select(mask: jnp.ndarray, a: Fp, b: Fp) -> Fp:
+    """Elementwise select over the batch: mask ? a : b. mask: bool [...]."""
+    limbs = jnp.where(mask[..., None], a.limbs, b.limbs)
+    return Fp(limbs, max(a.bound, b.bound), max(a.limb_bound, b.limb_bound))
+
+
+def fp_eq(a: Fp, b: Fp) -> jnp.ndarray:
+    """Exact equality mod p (canonicalizes both sides)."""
+    ca, cb = canonical(a), canonical(b)
+    return jnp.all(ca.limbs == cb.limbs, axis=-1)
+
+
+def fp_is_zero(a: Fp) -> jnp.ndarray:
+    return jnp.all(canonical(a).limbs == 0, axis=-1)
+
+
+def fp_pow_const(a: Fp, e: int) -> Fp:
+    """a^e for a small static exponent (unrolled square-and-multiply).
+
+    Operand must be in the Montgomery domain; result is too. For large
+    exponents use :func:`fp_pow_bits` (scan-based, compile-friendly).
+    """
+    assert e >= 1
+    bits = bin(e)[2:]
+    res = a
+    for bit in bits[1:]:
+        res = mont_mul(res, res)
+        if bit == "1":
+            res = mont_mul(res, a)
+    return res
+
+
+def _cap_2p(a: Fp) -> Fp:
+    """Normalize to the scan-stable envelope: bound <= 2p, settled limbs."""
+    if a.bound > 2 * P:
+        a = weak_reduce(a)
+    if a.limb_bound > SETTLED:
+        a = Fp(quasi_carry(a.limbs, a.limb_bound), a.bound, SETTLED)
+    assert a.bound <= 2 * P
+    return Fp(a.limbs, 2 * P, SETTLED)
+
+
+def fp_pow_bits(a: Fp, e: int) -> Fp:
+    """a^e via a lax.scan bit ladder — O(1) graph size, 2 muls/bit.
+
+    The loop body multiplies by ``a`` or by one depending on the bit
+    (operand select keeps control flow static). Montgomery domain in/out.
+    """
+    assert e >= 1
+    a = _cap_2p(a)
+    bits_np = np.asarray(
+        [int(b) for b in bin(e)[2:]], dtype=np.int32
+    )  # MSB first
+    one = Fp(
+        jnp.broadcast_to(jnp.asarray(_const_limbs(R_MOD_P)), a.limbs.shape),
+        2 * P,
+        SETTLED,
+    )
+
+    def body(res_limbs, bit):
+        res = Fp(res_limbs, 2 * P, SETTLED)
+        sq = _cap_2p(mont_mul(res, res))
+        mult = fp_select(jnp.broadcast_to(bit == 1, a.batch_shape), a, one)
+        out = _cap_2p(mont_mul(sq, mult))
+        return out.limbs, None
+
+    init = a.limbs  # leading bit consumed by starting at a
+    out_limbs, _ = jax.lax.scan(body, init, jnp.asarray(bits_np[1:]))
+    return Fp(out_limbs, 2 * P, SETTLED)
+
+
+def fp_inv(a: Fp) -> Fp:
+    """Fermat inverse a^(p-2); Montgomery domain in/out."""
+    return fp_pow_bits(a, P - 2)
+
+
+def batch_inv(elems: Sequence[Fp]) -> Tuple[Fp, ...]:
+    """Montgomery's batch-inversion trick: one fp_inv for N elements.
+
+    The TPU replacement for the reference's per-step affine inversions: all
+    denominators of a Miller-loop trajectory are inverted with a single
+    Fermat chain (SURVEY.md §7.2 step 3).
+    """
+    n = len(elems)
+    assert n >= 1
+    prefix = [elems[0]]
+    for i in range(1, n):
+        prefix.append(mont_mul(prefix[-1], elems[i]))
+    inv_all = fp_inv(prefix[-1])
+    out: list = [None] * n
+    for i in range(n - 1, 0, -1):
+        out[i] = mont_mul(inv_all, prefix[i - 1])
+        inv_all = mont_mul(inv_all, elems[i])
+    out[0] = inv_all
+    return tuple(out)
