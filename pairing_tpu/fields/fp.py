@@ -216,8 +216,11 @@ class WideAcc:
 
 
 def _mul_wide_raw(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
-    """Schoolbook limb product, positions 0..ncols-1 (static shift-adds)."""
-    batch = a.shape[:-1]
+    """Schoolbook limb product, positions 0..ncols-1 (static shift-adds).
+
+    Batch shapes broadcast (e.g. a stacked trajectory times one operand).
+    """
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     acc = jnp.zeros(batch + (ncols,), dtype=jnp.int32)
     for i in range(NLIMBS):
         take = min(NLIMBS, ncols - i)

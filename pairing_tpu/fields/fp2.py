@@ -152,5 +152,22 @@ def zero(batch_shape: Tuple[int, ...] = ()) -> Fp2:
     return Fp2(F.fp_const(0, batch_shape), F.fp_const(0, batch_shape))
 
 
+def cap(a: Fp2) -> Fp2:
+    """Normalize both components to the scan-stable (2p, settled) envelope."""
+    return Fp2(F._cap_2p(a.c0), F._cap_2p(a.c1))
+
+
+def to_limbs(a: Fp2):
+    """Fp2 -> raw (c0, c1) limb arrays (envelope must be (2p, settled))."""
+    return (a.c0.limbs, a.c1.limbs)
+
+
+def from_limbs(t) -> Fp2:
+    """Raw (c0, c1) limb arrays -> Fp2 with the (2p, settled) envelope."""
+    from ..utils.bn254 import P as _P
+
+    return Fp2(F.Fp(t[0], 2 * _P, F.SETTLED), F.Fp(t[1], 2 * _P, F.SETTLED))
+
+
 def one_mont(batch_shape: Tuple[int, ...] = ()) -> Fp2:
     return Fp2(F.fp_mont_one(batch_shape), F.fp_const(0, batch_shape))

@@ -1,0 +1,106 @@
+"""Batched final exponentiation f -> f^((p^12-1)/r).
+
+Algorithm parity: final_exp_native (/root/reference/src/final_exp_native.rs):
+  - easy part  (:195-206): f^((q^6-1)(q^2+1)) via conjugate / divide /
+    Frobenius^2 / multiply;
+  - hard part  (:130-169): the halo2-lib addition chain with three
+    x-power exponentiations;
+  - pow ladder (:56-84): NAF square-and-multiply. The reference implements
+    digit -1 as a full Fq12 division; we multiply by the conjugate instead,
+    which is the exact same value because pow is only ever applied inside
+    the cyclotomic subgroup (post-easy-part, where conj == inverse) —
+    see SURVEY.md §3.5.
+
+TPU-first notes: the x-power ladder runs as a lax.scan over the static NAF
+digit array with branchless operand select (one / m / conj(m)), so the
+graph stays O(1) in the 63 ladder steps. This is also the batched analogue
+of the reference's STARK exp offload shape (C12): one fused ladder kernel
+evaluated for many inputs at once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bn254 import BN_X_NAF
+from ..fields import fp2 as F2
+from ..fields import fp12 as F12
+from ..fields.fp12 import Fq12
+from .miller_loop import _fq12_from_limbs, _fq12_to_limbs, fq12_cap
+
+
+def pow_x_cyclotomic(m: Fq12) -> Fq12:
+    """m^BN_X for m in the cyclotomic subgroup (NAF ladder, conj for -1)."""
+    m = fq12_cap(m)
+    m_conj = fq12_cap(F12.conjugate(m))
+    one = fq12_cap(F12.fq12_one(m.batch_shape))
+    digits = np.asarray(list(reversed(BN_X_NAF)), dtype=np.int32)
+    assert digits[0] == 1
+    inner = m.batch_shape
+
+    def body(res_l, digit):
+        res = _fq12_from_limbs(res_l)
+        res = F12.fq12_sq(res)
+        mult = F12.fq12_select(jnp.broadcast_to(digit == 1, inner), m, one)
+        mult = F12.fq12_select(
+            jnp.broadcast_to(digit == -1, inner), m_conj, mult
+        )
+        res = F12.fq12_mul(res, mult)
+        return _fq12_to_limbs(fq12_cap(res)), None
+
+    res_l, _ = jax.lax.scan(
+        body, _fq12_to_limbs(m), jnp.asarray(digits[1:])
+    )
+    return _fq12_from_limbs(res_l)
+
+
+def easy_part(a: Fq12) -> Fq12:
+    """a -> a^((q^6-1)(q^2+1)) (final_exp_native.rs:195-206)."""
+    f1 = F12.conjugate(a)
+    f2 = F12.fq12_div(f1, a)
+    f3 = F12.frobenius_map(f2, 2)
+    return F12.fq12_mul(f3, f2)
+
+
+def hard_part(m: Fq12) -> Fq12:
+    """halo2-lib addition chain (final_exp_native.rs:130-169)."""
+    mul, conj, frob = F12.fq12_mul, F12.conjugate, F12.frobenius_map
+
+    mp = frob(m, 1)
+    mp2 = frob(m, 2)
+    mp3 = frob(m, 3)
+
+    y0 = mul(mp, mul(mp2, mp3))
+    y1 = conj(m)
+    mx = pow_x_cyclotomic(m)
+    mxp = frob(mx, 1)
+    mx2 = pow_x_cyclotomic(mx)
+    mx2p = frob(mx2, 1)
+    y2 = frob(mx2, 2)
+    y5 = conj(mx2)
+    mx3 = pow_x_cyclotomic(mx2)
+    mx3p = frob(mx3, 1)
+
+    y3 = conj(mxp)
+    y4 = conj(mul(mx, mx2p))
+    y6 = conj(mul(mx3, mx3p))
+
+    t0 = mul(mul(F12.fq12_sq(y6), y4), y5)
+    t1 = mul(y3, y5)
+    t1 = mul(t1, t0)
+    t0 = mul(y2, t0)
+    t1 = F12.fq12_sq(t1)
+    t1 = mul(t1, t0)
+    t1 = F12.fq12_sq(t1)
+    t0 = mul(t1, y1)
+    t1 = mul(t1, y0)
+    t0 = F12.fq12_sq(t0)
+    t0 = mul(t0, t1)
+    return t0
+
+
+def final_exp(a: Fq12) -> Fq12:
+    """final_exp_native (final_exp_native.rs:209-213)."""
+    return hard_part(easy_part(a))
