@@ -1,0 +1,95 @@
+"""Benchmark: batched BN254 ate pairings/s on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "pairings_per_sec_per_chip", "value": N, "unit": "pairings/s",
+   "vs_baseline": N}
+
+Baseline normalization: the north-star target is >=100k pairings/s on a
+v5p-16 (8 chips) => 12,500 pairings/s/chip (BASELINE.md). The reference
+itself publishes no numbers (BASELINE.json "published": {}).
+
+Run on TPU (default harness env) or CPU (JAX_PLATFORMS=cpu).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+
+BASELINE_PER_CHIP = 100_000 / 8  # north-star v5p-16 target, per chip
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--validate", type=int, default=2,
+                    help="check this many lanes vs the oracle")
+    args = ap.parse_args()
+
+    import jax
+
+    from pairing_tpu.curves import g1 as G1m
+    from pairing_tpu.curves import g2 as G2m
+    from pairing_tpu.fields import fp12 as F12
+    from pairing_tpu.oracle import native as o
+    from pairing_tpu.pairing import api
+    from pairing_tpu.utils import bn254 as c
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    rng = random.Random(7)
+    n_unique = min(args.batch, 16)
+    g1s = [o.g1_mul(c.G1_GEN, rng.randrange(1, c.R_SCALAR)) for _ in range(n_unique)]
+    g2s = [
+        o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), rng.randrange(1, c.R_SCALAR))
+        for _ in range(n_unique)
+    ]
+    reps = -(-args.batch // n_unique)
+    g1s = (g1s * reps)[: args.batch]
+    g2s = (g2s * reps)[: args.batch]
+
+    p = G1m.g1_from_ints(g1s)
+    q = G2m.g2_from_ints(g2s)
+
+    fn = jax.jit(api.pairing)
+    t0 = time.time()
+    out = fn(p, q)
+    jax.block_until_ready(out)
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        out = fn(p, q)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    pairings_per_sec = args.batch / best
+    print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    if args.validate > 0:
+        got = F12.fq12_to_int_coeffs(out)
+        for i in range(min(args.validate, args.batch)):
+            expect = o.pairing(g1s[i], g2s[i])
+            assert got[i] == expect, f"lane {i} mismatch vs oracle"
+        print(f"# validated {args.validate} lanes vs oracle", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pairings_per_sec_per_chip",
+                "value": round(pairings_per_sec, 2),
+                "unit": "pairings/s",
+                "vs_baseline": round(pairings_per_sec / BASELINE_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

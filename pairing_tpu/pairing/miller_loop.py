@@ -152,11 +152,14 @@ def _trajectory(q: G2):
 # ---------------------------------------------------------------------------
 
 
-def _miller_core(qs: G2, ps: G1) -> Fq12:
+def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
     """Multi-Miller product over a leading pairs axis K.
 
     qs, ps have batch shape [K, ...]; returns the Fq12 Miller value of the
-    product of all K pairings with shared squarings.
+    product of all K pairings with shared squarings. With
+    ``collect_trace=True`` also returns the witness trace (per-step f,
+    affine trajectory, line coefficients) — the batched analogue of the
+    reference's circuit-side value flow (miller_loop_target.rs:132-311).
     """
     kshape = qs.batch_shape
     assert len(kshape) >= 1
@@ -259,7 +262,8 @@ def _miller_core(qs: G2, ps: G1) -> Fq12:
                 fc, {2: pick(c2), 3: pick(c3), 5: pick(c5)}
             )
         f = F12.fq12_select(jnp.broadcast_to(flag != 0, inner), fc, f)
-        return _fq12_to_limbs(fq12_cap(f)), None
+        out_l = _fq12_to_limbs(fq12_cap(f))
+        return out_l, (out_l if collect_trace else None)
 
     one = fq12_cap(F12.fq12_one(inner))
     xs = (
@@ -271,7 +275,7 @@ def _miller_core(qs: G2, ps: G1) -> Fq12:
         F2.to_limbs(ch_full[2]),
         flags,
     )
-    f_l, _ = jax.lax.scan(fbody, _fq12_to_limbs(one), xs)
+    f_l, f_steps = jax.lax.scan(fbody, _fq12_to_limbs(one), xs)
     f = _fq12_from_limbs(f_l)
 
     # Epilogue multiplies, per pair in order (miller_loop_native.rs:274-280).
@@ -286,7 +290,19 @@ def _miller_core(qs: G2, ps: G1) -> Fq12:
         f = F12.fq12_mul_sparse(
             f, {2: pick(e2[0], k), 3: pick(e2[1], k), 5: pick(e2[2], k)}
         )
-    return fq12_cap(f)
+    f = fq12_cap(f)
+    if not collect_trace:
+        return f
+    trace = {
+        "f_steps": f_steps,  # per-iteration f limb pytree, leading axis 64
+        "r_affine": aff,  # G2 stack [130, K, ...]: 64 tops, 64 dbls, end, +Q1
+        "tangent_lines": tg,  # 3 x Fp2 [64, K, ...]
+        "chord_lines": ch,  # 3 x Fp2 [N_ADDS, K, ...]
+        "epilogue_lines": (e1, e2),  # 3 x Fp2 [K, ...] each
+        "q1": q1,
+        "neg_q2": nq2,
+    }
+    return f, trace
 
 
 # ---------------------------------------------------------------------------
