@@ -32,6 +32,10 @@ def main() -> None:
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from pairing_tpu.curves import g1 as G1m
     from pairing_tpu.curves import g2 as G2m
     from pairing_tpu.fields import fp12 as F12
@@ -57,16 +61,26 @@ def main() -> None:
     q = G2m.g2_from_ints(g2s)
 
     fn = jax.jit(api.pairing)
+
+    def sync(res):
+        # force full device completion: fetch one limb to host (the axon
+        # relay's block_until_ready can return before remote execution
+        # finishes, so a host fetch is the reliable barrier)
+        jax.block_until_ready(res)
+        return np.asarray(res.s[0].c0.limbs[..., 0]).sum()
+
+    import numpy as np
+
     t0 = time.time()
     out = fn(p, q)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
         out = fn(p, q)
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.time() - t0)
     best = min(times)
     pairings_per_sec = args.batch / best

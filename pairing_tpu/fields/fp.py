@@ -215,20 +215,37 @@ class WideAcc:
         return cls(children[0], aux[0], aux[1])
 
 
-def _mul_wide_raw(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
-    """Schoolbook limb product, positions 0..ncols-1 (static shift-adds).
+@lru_cache(maxsize=None)
+def _conv_onehot(ncols: int) -> np.ndarray:
+    """[NLIMBS^2, ncols] 0/1 matrix mapping outer-product entry (i,j) to
+    polynomial position i+j (entries with i+j >= ncols are dropped, which
+    is exactly the mod-R truncation the callers want)."""
+    oh = np.zeros((NLIMBS * NLIMBS, ncols), dtype=np.int32)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            if i + j < ncols:
+                oh[i * NLIMBS + j, i + j] = 1
+    return oh
 
+
+def _mul_wide_raw(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
+    """Schoolbook limb product, positions 0..ncols-1.
+
+    Formulated as outer-product + one 0/1 contraction: 3 HLO ops instead
+    of 21 shift-adds, which cuts XLA compile time of the deep pairing
+    graphs ~4x and maps the position-fold onto a single (int) matmul.
     Batch shapes broadcast (e.g. a stacked trajectory times one operand).
     """
-    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    acc = jnp.zeros(batch + (ncols,), dtype=jnp.int32)
-    for i in range(NLIMBS):
-        take = min(NLIMBS, ncols - i)
-        if take <= 0:
-            break
-        term = a[..., i : i + 1] * b[..., :take]
-        acc = acc.at[..., i : i + take].add(term)
-    return acc
+    bs = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, bs + a.shape[-1:])
+    b = jnp.broadcast_to(b, bs + b.shape[-1:])
+    outer = (a[..., :, None] * b[..., None, :]).reshape(bs + (NLIMBS * NLIMBS,))
+    return jax.lax.dot_general(
+        outer,
+        jnp.asarray(_conv_onehot(ncols)),
+        (((outer.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
 
 def mul_wide(a: Fp, b: Fp) -> WideAcc:

@@ -1,0 +1,271 @@
+"""Pallas TPU kernels for batched Fq12 multiplication.
+
+The hot op of the pairing (SURVEY.md §2.2): dense and 034/235-sparse
+coefficient-basis products. One kernel invocation processes the whole
+batch, tiled 1024 lanes (8x128 VPU tiles) per grid step; limbs live in
+registers/VMEM with all limb loops unrolled at trace time.
+
+Same term-table decomposition as fields.fp12._mul_gathered (12 output
+accumulators, xi-fold absorbed into premultiplied LHS vocabulary), but the
+accumulation runs segment-at-a-time inside the kernel so every store is
+statically indexed.
+
+Layout: ``[12, NLIMBS, B//128, 128]`` int32 ("kernel layout"), batch padded
+to a multiple of 1024. Conversion helpers bridge the XLA-layer Fq12.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import fp as F
+from ..fields import fp12 as F12
+from ..fields.fp import Fp, NLIMBS, SETTLED
+from ..fields.fp2 import Fp2
+from ..fields.fp12 import Fq12
+from ..utils.bn254 import P
+from . import kernel_core as K
+
+LANES = 1024  # 8 x 128 per grid step
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Term tables (segment-major)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _seg_tables(present: Tuple[int, ...]):
+    """Per-output-component term lists, segment-major.
+
+    Returns (lhs, rhs, offsets): lhs/rhs int32 arrays of all terms sorted
+    by segment, offsets[13] prefix (segment s owns terms
+    offsets[s]:offsets[s+1]). LHS rows: 4*i + {0: c0, 1: c1, 2: xi.c0,
+    3: xi.c1}; RHS rows: 3*jj + {0: c0, 1: c1, 2: -c1}.
+    """
+    per_seg = [[] for _ in range(12)]
+    for i in range(6):
+        for jj, j in enumerate(present):
+            k = i + j
+            hi = k >= 6
+            slot = k - 6 if hi else k
+            base = 4 * i + (2 if hi else 0)
+            per_seg[2 * slot + 0] += [(base + 0, 3 * jj + 0), (base + 1, 3 * jj + 2)]
+            per_seg[2 * slot + 1] += [(base + 0, 3 * jj + 1), (base + 1, 3 * jj + 0)]
+    lhs, rhs, offsets = [], [], [0]
+    for s in range(12):
+        for l, r in per_seg[s]:
+            lhs.append(l)
+            rhs.append(r)
+        offsets.append(len(lhs))
+    return (
+        np.asarray(lhs, np.int32),
+        np.asarray(rhs, np.int32),
+        tuple(offsets),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel body
+# ---------------------------------------------------------------------------
+
+
+def _mul_kernel(present: Tuple[int, ...], lhs_ref, rhs_ref, a_ref, b_ref,
+                out_ref, vocab, rvocab):
+    # LHS vocabulary: slots + xi-premultiplied slots.
+    for i in range(6):
+        c0 = [a_ref[2 * i, l] for l in range(NLIMBS)]
+        c1 = [a_ref[2 * i + 1, l] for l in range(NLIMBS)]
+        x0, x1 = K.k2_mul_w6((c0, c1))
+        for l in range(NLIMBS):
+            vocab[4 * i + 0, l] = c0[l]
+            vocab[4 * i + 1, l] = c1[l]
+            vocab[4 * i + 2, l] = x0[l]
+            vocab[4 * i + 3, l] = x1[l]
+
+    # RHS vocabulary: present slots + negated c1.
+    for jj, j in enumerate(present):
+        b0 = [b_ref[2 * j, l] for l in range(NLIMBS)]
+        b1 = [b_ref[2 * j + 1, l] for l in range(NLIMBS)]
+        nb1 = K.k_neg_2p(b1)
+        for l in range(NLIMBS):
+            rvocab[3 * jj + 0, l] = b0[l]
+            rvocab[3 * jj + 1, l] = b1[l]
+            rvocab[3 * jj + 2, l] = nb1[l]
+
+    _, _, offsets = _seg_tables(present)
+
+    # Per-segment accumulate (fori carry = 44 register tiles) then reduce.
+    zero_tile = a_ref[0, 0] * 0  # tracer-derived zero (no array constant)
+    for seg in range(12):
+        n_terms = offsets[seg + 1] - offsets[seg]
+        base = offsets[seg]
+
+        def term_body(t, acc):
+            li = lhs_ref[t]
+            ri = rhs_ref[t]
+            av = [vocab[li, l] for l in range(NLIMBS)]
+            bv = [rvocab[ri, l] for l in range(NLIMBS)]
+            w = K.k_mul_wide_carried(av, bv)
+            return tuple(acc[pos] + w[pos] for pos in range(K.WIDE))
+
+        acc = jax.lax.fori_loop(
+            base, base + n_terms, term_body, (zero_tile,) * K.WIDE
+        )
+        out = K.k_mont_reduce(list(acc), limb_bound=2 * n_terms * SETTLED)
+        for l in range(NLIMBS):
+            out_ref[seg, l] = out[l]
+
+
+def _mul_kernel_wrapped(present, lhs_ref, rhs_ref, a_ref, b_ref, out_ref,
+                        vocab_ref, rvocab_ref):
+    _mul_kernel(present, lhs_ref, rhs_ref, a_ref, b_ref, out_ref,
+                _VocabRef(vocab_ref), _VocabRef(rvocab_ref))
+
+
+class _VocabRef:
+    """Thin indexing adapter: vocab[row, limb] -> [8, 128] tile."""
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __getitem__(self, idx):
+        row, limb = idx
+        return self.ref[row, limb]
+
+    def __setitem__(self, idx, v):
+        row, limb = idx
+        self.ref[row, limb] = v
+
+
+def _pallas_mul(present: Tuple[int, ...], a_arr: jnp.ndarray,
+                b_arr: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """a_arr [12, L, R, 128] x b_arr [2*npres?, ...] -> [12, L, R, 128]."""
+    lhs_tbl, rhs_tbl, _ = _seg_tables(present)
+    nrows = a_arr.shape[2]
+    assert nrows % 8 == 0
+    grid = (nrows // 8,)
+
+    kern = partial(_mul_kernel_wrapped, present)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(a_arr.shape, jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((24, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((3 * len(present), NLIMBS, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(lhs_tbl), jnp.asarray(rhs_tbl), a_arr, b_arr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion + public API
+# ---------------------------------------------------------------------------
+
+
+def to_kernel_layout(a: Fq12) -> Tuple[jnp.ndarray, Tuple[int, ...], int]:
+    """Fq12 (batch [...]) -> ([12, L, R, 128], batch_shape, pad)."""
+    from ..pairing.miller_loop import fq12_cap
+
+    a = fq12_cap(a)
+    comps = []
+    for i in range(6):
+        comps.append(a.s[i].c0.limbs)
+        comps.append(a.s[i].c1.limbs)
+    arr = jnp.stack(comps)  # [12, ..., L]
+    batch_shape = arr.shape[1:-1]
+    flat = arr.reshape(12, -1, NLIMBS)
+    b = flat.shape[1]
+    pad = (-b) % LANES
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+    n = flat.shape[1]
+    out = jnp.moveaxis(flat, -1, 1).reshape(12, NLIMBS, n // 128, 128)
+    return out, batch_shape, pad
+
+
+def from_kernel_layout(arr: jnp.ndarray, batch_shape, pad: int) -> Fq12:
+    n = arr.shape[2] * 128
+    flat = jnp.moveaxis(arr.reshape(12, NLIMBS, n), 1, -1)  # [12, n, L]
+    if pad:
+        flat = flat[:, : n - pad]
+    full = flat.reshape((12,) + tuple(batch_shape) + (NLIMBS,))
+    slots = []
+    for i in range(6):
+        slots.append(
+            Fp2(
+                Fp(full[2 * i], 2 * P, SETTLED),
+                Fp(full[2 * i + 1], 2 * P, SETTLED),
+            )
+        )
+    return Fq12(tuple(slots))
+
+
+def fq12_mul_pallas(a: Fq12, b: Fq12, interpret: bool = False) -> Fq12:
+    """Dense Fq12 product via the Pallas kernel; value-identical to
+    fields.fp12.fq12_mul (same Montgomery envelope)."""
+    a_arr, bs, pad = to_kernel_layout(a)
+    b_arr, _, _ = to_kernel_layout(b)
+    out = _pallas_mul(tuple(range(6)), a_arr, b_arr, interpret)
+    return from_kernel_layout(out, bs, pad)
+
+
+def fq12_mul_sparse_pallas(
+    a: Fq12, slots: Dict[int, Fp2], interpret: bool = False
+) -> Fq12:
+    """Sparse (line) product via the Pallas kernel. ``slots`` maps slot
+    index -> Fp2; zero slots are never materialized."""
+    present = tuple(sorted(slots.keys()))
+    a_arr, bs, pad = to_kernel_layout(a)
+    # build a dense-looking b array holding only present slots (other rows
+    # never read by the kernel's term tables)
+    full = {i: slots.get(i) for i in range(6)}
+    zero = None
+    comps = []
+    for i in range(6):
+        if full[i] is None:
+            if zero is None:
+                any_slot = slots[present[0]]
+                zero = Fp2(
+                    Fp(jnp.zeros_like(any_slot.c0.limbs), P, 0),
+                    Fp(jnp.zeros_like(any_slot.c1.limbs), P, 0),
+                )
+            full[i] = zero
+    b = Fq12(tuple(full[i] for i in range(6)))
+    b_arr, _, _ = to_kernel_layout(b)
+    out = _pallas_mul(present, a_arr, b_arr, interpret)
+    return from_kernel_layout(out, bs, pad)

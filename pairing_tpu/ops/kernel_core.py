@@ -1,0 +1,203 @@
+"""In-kernel limb arithmetic for Pallas TPU kernels.
+
+Conventions:
+  * An Fq element inside a kernel is a Python list of NLIMBS int32 tiles,
+    each of shape [8, 128] (one VPU tile; batch = 1024 lanes per tile).
+    Limb loops are unrolled at trace time — every op below is a straight
+    sequence of vector instructions on the VPU, no cross-lane shuffles.
+  * The value envelope matches the XLA path: inputs/outputs are
+    (bound <= 2p, limbs <= 2^13+1) "settled" representations in the
+    Montgomery domain, so kernel and XLA layers interoperate freely.
+
+These helpers mirror pairing_tpu.fields.fp (same radix/Montgomery
+constants) — see that module for the bound proofs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.fp import (
+    MASK,
+    NLIMBS,
+    NPRIME_LIMBS,
+    P_LIMBS,
+    RADIX_BITS,
+)
+from ..utils.bn254 import P
+
+WIDE = 2 * NLIMBS + 2  # 44
+
+P_INT = [int(x) for x in P_LIMBS]
+NP_INT = [int(x) for x in NPRIME_LIMBS]
+
+# kp constants for in-kernel subtraction (value-level k*p, 22 limbs)
+from ..fields.fp import _const_limbs
+
+KP2 = [int(x) for x in _const_limbs(2 * P, NLIMBS + 1)]
+KP4 = [int(x) for x in _const_limbs(4 * P, NLIMBS + 1)]
+KP32 = [int(x) for x in _const_limbs(32 * P, NLIMBS + 2)]
+
+
+def k_pad(xs: List, n: int) -> List:
+    """Zero-extend a position list to length n (carry headroom)."""
+    if len(xs) >= n:
+        return list(xs)
+    zero = xs[0] - xs[0]
+    return list(xs) + [zero] * (n - len(xs))
+
+
+def k_carry(xs: List, rounds: int) -> List:
+    """Data-parallel carry rounds (value preserving).
+
+    CALLER must ensure the top position's carry-out is statically zero —
+    pad with k_pad first when the top position can exceed the radix.
+    """
+    for _ in range(rounds):
+        lo = [x & MASK for x in xs]
+        hi = [x >> RADIX_BITS for x in xs]
+        xs = [lo[0]] + [lo[i] + hi[i - 1] for i in range(1, len(xs))]
+        # top carry hi[-1] is dropped: must be zero by bounds
+    return xs
+
+
+def k_mul_wide(a: Sequence, b: Sequence) -> List:
+    """Schoolbook product: two 21-limb lists -> 41 raw positions (< 2^31)."""
+    acc: List = [None] * (2 * NLIMBS - 1)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            t = a[i] * b[j]
+            k = i + j
+            acc[k] = t if acc[k] is None else acc[k] + t
+    return acc
+
+
+def k_mul_const(a: Sequence, c_limbs: Sequence[int], ncols: int) -> List:
+    """a * constant (host int limbs), positions 0..ncols-1 raw."""
+    acc: List = [None] * ncols
+    for i in range(NLIMBS):
+        for j, cj in enumerate(c_limbs):
+            if cj == 0 or i + j >= ncols:
+                continue
+            t = a[i] * cj
+            k = i + j
+            acc[k] = t if acc[k] is None else acc[k] + t
+    zero = a[0] - a[0]
+    return [x if x is not None else zero for x in acc]
+
+
+def k_mont_reduce(t: List, limb_bound: int = 1 << 15) -> List:
+    """Montgomery reduction of a wide accumulator (len <= WIDE).
+
+    Mirrors fields.fp.mont_reduce: m = (t mod R)*N' mod R;
+    out = (t + m*p)/R with the {0,R} low-half carry-out dichotomy.
+    ``limb_bound`` is the static bound on input positions (drives the
+    pre-settle round count); output limbs settled, value < 2p.
+    """
+    from ..fields.fp import _rounds_needed
+
+    t = k_pad(t, WIDE)
+    rounds = _rounds_needed(limb_bound)
+    if rounds:
+        t = k_carry(t, rounds)
+    lo = t[:NLIMBS]
+    m_raw = k_mul_const(lo, NP_INT, NLIMBS + 1)
+    m = k_carry(m_raw, 3)[:NLIMBS]
+    u = k_mul_const(m, P_INT, WIDE)
+    s = [u[i] + t[i] for i in range(WIDE)]
+    s = k_carry(s, 3)
+    nz = s[0]
+    for i in range(1, NLIMBS):
+        nz = nz | s[i]
+    carry_out = (nz != 0).astype(jnp.int32)
+    out = s[NLIMBS : 2 * NLIMBS]
+    out = [out[0] + carry_out] + out[1:]
+    return out
+
+
+def k_mont_mul(a: Sequence, b: Sequence) -> List:
+    raw = k_pad(k_mul_wide(a, b), WIDE)
+    return k_mont_reduce(k_carry(raw, 3))
+
+
+def k_add(a: Sequence, b: Sequence, carry_rounds: int = 1) -> List:
+    return k_carry([x + y for x, y in zip(a, b)], carry_rounds)
+
+
+def k_sub_2p(a: Sequence, b: Sequence) -> List:
+    """a - b + 4p for a,b < 2p-ish; signed carries settle in 4 rounds."""
+    zero = a[0] - a[0]
+    ae = list(a) + [zero]
+    be = list(b) + [zero]
+    x = [ae[i] - be[i] + KP4[i] for i in range(NLIMBS + 1)]
+    return k_carry(x, 4)[:NLIMBS]
+
+
+def k_neg_2p(a: Sequence) -> List:
+    """2p - a for a < 2p."""
+    zero = a[0] - a[0]
+    ae = list(a) + [zero]
+    x = [KP2[i] - ae[i] for i in range(NLIMBS + 1)]
+    return k_carry(x, 4)[:NLIMBS]
+
+
+def k_scale(a: Sequence, s: int, rounds: int = 2) -> List:
+    return k_carry([x * s for x in a], rounds)
+
+
+def k_select(mask, a: Sequence, b: Sequence) -> List:
+    """mask ? a : b, elementwise over the tile."""
+    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
+# ---------------------------------------------------------------------------
+# Fq2 helpers: an element is a pair (c0, c1) of limb lists
+# ---------------------------------------------------------------------------
+
+
+def k_mul_wide_carried(a: Sequence, b: Sequence) -> List:
+    """Settled WIDE-length product (limbs <= 2^13+1) — safe to accumulate
+    up to ~2^17 of these without overflow."""
+    return k_carry(k_pad(k_mul_wide(a, b), WIDE), 3)
+
+
+def k2_mul(a, b):
+    # raw position sums approach 2^30.4 each, so carry each product before
+    # accumulating (two raws summed would overflow int32).
+    a0, a1 = a
+    b0, b1 = b
+    nb1 = k_neg_2p(b1)
+    w0 = [x + y for x, y in zip(k_mul_wide_carried(a0, b0), k_mul_wide_carried(a1, nb1))]
+    w1 = [x + y for x, y in zip(k_mul_wide_carried(a0, b1), k_mul_wide_carried(a1, b0))]
+    c0 = k_mont_reduce(w0)
+    c1 = k_mont_reduce(w1)
+    return (c0, c1)
+
+
+def k2_add(a, b):
+    return (k_add(a[0], b[0]), k_add(a[1], b[1]))
+
+
+def k2_sub(a, b):
+    return (k_sub_2p(a[0], b[0]), k_sub_2p(a[1], b[1]))
+
+
+def k2_scale(a, s):
+    return (k_scale(a[0], s), k_scale(a[1], s))
+
+
+def k2_mul_w6(a):
+    """xi * a = (9 c0 - c1, c0 + 9 c1); inputs < 2p -> outputs < 20p.
+
+    Output limbs settled; value bound ~20p still safe for products
+    (20p * 4p * 24 < 16 R p)."""
+    c0, c1 = a
+    zero = c0[0] - c0[0]
+    t0 = [c0[i] * 9 for i in range(NLIMBS)] + [zero]
+    s0 = [t0[i] - (c1[i] if i < NLIMBS else 0) + KP2[i] for i in range(NLIMBS + 1)]
+    s0 = k_carry(s0, 4)[:NLIMBS]
+    s1 = k_carry([c0[i] + c1[i] * 9 for i in range(NLIMBS)], 2)
+    return (s0, s1)

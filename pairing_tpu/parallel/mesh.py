@@ -94,7 +94,7 @@ def multi_pairing_sharded(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=P(),  # replicated after the all-reduce
-        check_rep=False,
+        check_vma=False,
     )
     f = jax.jit(fn)(ps, qs)
     return jax.jit(final_exp)(f)

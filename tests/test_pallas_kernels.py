@@ -1,0 +1,54 @@
+"""Pallas Fq12 kernel tests (interpret mode on CPU) vs the XLA path."""
+
+import random
+
+import jax
+import pytest
+
+from pairing_tpu.fields import fp2 as F2
+from pairing_tpu.fields import fp12 as F12
+from pairing_tpu.oracle import native as o
+from pairing_tpu.ops import fq12_kernels as OK
+from pairing_tpu.utils.bn254 import P
+
+RNG = random.Random(2718)
+B = 4
+
+
+def rand_fq12_batch(n=B):
+    return [[RNG.randrange(P) for _ in range(12)] for _ in range(n)]
+
+
+def test_kernel_layout_roundtrip():
+    xs = rand_fq12_batch()
+    a = F12.fq12_from_int_coeffs(xs)
+    arr, bs, pad = OK.to_kernel_layout(a)
+    assert arr.shape == (12, 21, 8, 128)
+    back = OK.from_kernel_layout(arr, bs, pad)
+    assert F12.fq12_to_int_coeffs(back) == xs
+
+
+def test_fq12_mul_kernel_dense():
+    xs, ys = rand_fq12_batch(), rand_fq12_batch()
+    a = F12.fq12_from_int_coeffs(xs)
+    b = F12.fq12_from_int_coeffs(ys)
+    got = jax.jit(lambda a, b: OK.fq12_mul_pallas(a, b, interpret=True))(a, b)
+    assert F12.fq12_to_int_coeffs(got) == [
+        o.fq12_mul(x, y) for x, y in zip(xs, ys)
+    ]
+
+
+@pytest.mark.parametrize("pattern", [(0, 3, 4), (2, 3, 5)])
+def test_fq12_mul_kernel_sparse(pattern):
+    xs = rand_fq12_batch()
+    line = {j: [(RNG.randrange(P), RNG.randrange(P)) for _ in range(B)] for j in pattern}
+    a = F12.fq12_from_int_coeffs(xs)
+    slots = {j: F2.fp2_stack_from_ints(line[j]) for j in pattern}
+    got = jax.jit(
+        lambda a, s: OK.fq12_mul_sparse_pallas(a, s, interpret=True)
+    )(a, slots)
+    expect = []
+    for bi in range(B):
+        sparse = [line[j][bi] if j in pattern else None for j in range(6)]
+        expect.append(o.sparse_fp12_multiply(xs[bi], sparse))
+    assert F12.fq12_to_int_coeffs(got) == expect

@@ -38,7 +38,7 @@ def test_fq12_all_reduce_mul(reduce_fn):
         return reduce_fn(f, "x")
 
     fn = shard_map(
-        local, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"), check_rep=False
+        local, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"), check_vma=False
     )
     out = jax.jit(fn)(a)
     got = F12.fq12_to_int_coeffs(out)
