@@ -242,6 +242,32 @@ def fq12_mul_sparse(a: Fq12, slots: Dict[int, Fp2]) -> Fq12:
     return _mul_gathered(a, slots)
 
 
+def fq12_cyclotomic_sq(a: Fq12) -> Fq12:
+    """Granger-Scott squaring for unit-norm elements (~8x cheaper than a
+    dense square). Valid exactly on the cyclotomic subgroup (post
+    easy-part); value-identical to fq12_sq there. Uses the Fq4
+    decomposition g_i = slot_i + slot_{i+3} w^3, (w^3)^2 = xi."""
+    s = a.s
+
+    def fq4_sq(x: Fp2, y: Fp2):
+        x2 = F2.square(x)
+        y2 = F2.square(y)
+        cross = F2.sub(F2.square(F2.add(x, y)), F2.add(x2, y2))
+        return F2.add(x2, F2.mul_w6(y2)), cross
+
+    A0, A1 = fq4_sq(s[0], s[3])
+    B0, B1 = fq4_sq(s[1], s[4])
+    C0, C1 = fq4_sq(s[2], s[5])
+    out = [None] * 6
+    out[0] = F2.sub(F2.scale(A0, 3), F2.scale(s[0], 2))
+    out[2] = F2.sub(F2.scale(B0, 3), F2.scale(s[2], 2))
+    out[4] = F2.sub(F2.scale(C0, 3), F2.scale(s[4], 2))
+    out[1] = F2.add(F2.scale(F2.mul_w6(C1), 3), F2.scale(s[1], 2))
+    out[3] = F2.add(F2.scale(A1, 3), F2.scale(s[3], 2))
+    out[5] = F2.add(F2.scale(B1, 3), F2.scale(s[5], 2))
+    return Fq12(tuple(F2.cap(x) for x in out))
+
+
 # ---------------------------------------------------------------------------
 # Frobenius
 # ---------------------------------------------------------------------------

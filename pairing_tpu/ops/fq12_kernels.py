@@ -85,12 +85,19 @@ def _seg_tables(present: Tuple[int, ...]):
 # ---------------------------------------------------------------------------
 
 
-def _mul_kernel(present: Tuple[int, ...], lhs_ref, rhs_ref, a_ref, b_ref,
-                out_ref, vocab, rvocab):
+def _mul_core(present: Tuple[int, ...], lhs_ref, rhs_ref, a_get, b_slot_get,
+              out_set, vocab, rvocab, zero_tile):
+    """Shared in-kernel Fq12 product.
+
+    a_get(comp, limb) -> tile        (comp = 2*slot + {c0, c1})
+    b_slot_get(jj, comp, limb)       (jj enumerates ``present`` slots)
+    out_set(seg, limbs_list)         (seg = 2*out_slot + comp)
+    vocab/rvocab: VMEM scratch refs [24|3*npres, NLIMBS, 8, 128].
+    """
     # LHS vocabulary: slots + xi-premultiplied slots.
     for i in range(6):
-        c0 = [a_ref[2 * i, l] for l in range(NLIMBS)]
-        c1 = [a_ref[2 * i + 1, l] for l in range(NLIMBS)]
+        c0 = [a_get(2 * i, l) for l in range(NLIMBS)]
+        c1 = [a_get(2 * i + 1, l) for l in range(NLIMBS)]
         x0, x1 = K.k2_mul_w6((c0, c1))
         for l in range(NLIMBS):
             vocab[4 * i + 0, l] = c0[l]
@@ -99,9 +106,9 @@ def _mul_kernel(present: Tuple[int, ...], lhs_ref, rhs_ref, a_ref, b_ref,
             vocab[4 * i + 3, l] = x1[l]
 
     # RHS vocabulary: present slots + negated c1.
-    for jj, j in enumerate(present):
-        b0 = [b_ref[2 * j, l] for l in range(NLIMBS)]
-        b1 = [b_ref[2 * j + 1, l] for l in range(NLIMBS)]
+    for jj in range(len(present)):
+        b0 = [b_slot_get(jj, 0, l) for l in range(NLIMBS)]
+        b1 = [b_slot_get(jj, 1, l) for l in range(NLIMBS)]
         nb1 = K.k_neg_2p(b1)
         for l in range(NLIMBS):
             rvocab[3 * jj + 0, l] = b0[l]
@@ -111,7 +118,6 @@ def _mul_kernel(present: Tuple[int, ...], lhs_ref, rhs_ref, a_ref, b_ref,
     _, _, offsets = _seg_tables(present)
 
     # Per-segment accumulate (fori carry = 44 register tiles) then reduce.
-    zero_tile = a_ref[0, 0] * 0  # tracer-derived zero (no array constant)
     for seg in range(12):
         n_terms = offsets[seg + 1] - offsets[seg]
         base = offsets[seg]
@@ -128,14 +134,7 @@ def _mul_kernel(present: Tuple[int, ...], lhs_ref, rhs_ref, a_ref, b_ref,
             base, base + n_terms, term_body, (zero_tile,) * K.WIDE
         )
         out = K.k_mont_reduce(list(acc), limb_bound=2 * n_terms * SETTLED)
-        for l in range(NLIMBS):
-            out_ref[seg, l] = out[l]
-
-
-def _mul_kernel_wrapped(present, lhs_ref, rhs_ref, a_ref, b_ref, out_ref,
-                        vocab_ref, rvocab_ref):
-    _mul_kernel(present, lhs_ref, rhs_ref, a_ref, b_ref, out_ref,
-                _VocabRef(vocab_ref), _VocabRef(rvocab_ref))
+        out_set(seg, out)
 
 
 class _VocabRef:
@@ -151,6 +150,27 @@ class _VocabRef:
     def __setitem__(self, idx, v):
         row, limb = idx
         self.ref[row, limb] = v
+
+
+def _mul_kernel_wrapped(present, lhs_ref, rhs_ref, a_ref, b_ref, out_ref,
+                        vocab_ref, rvocab_ref):
+    zero_tile = a_ref[0, 0] * 0
+
+    def out_set(seg, limbs):
+        for l in range(NLIMBS):
+            out_ref[seg, l] = limbs[l]
+
+    _mul_core(
+        present,
+        lhs_ref,
+        rhs_ref,
+        lambda c, l: a_ref[c, l],
+        lambda jj, cc, l: b_ref[2 * present[jj] + cc, l],
+        out_set,
+        _VocabRef(vocab_ref),
+        _VocabRef(rvocab_ref),
+        zero_tile,
+    )
 
 
 def _pallas_mul(present: Tuple[int, ...], a_arr: jnp.ndarray,

@@ -1,0 +1,266 @@
+"""Fused Pallas kernels: Miller f-accumulation and cyclotomic pow ladders.
+
+These keep the Fq12 accumulator resident in VMEM across all loop steps —
+the TPU analogue of the reference's tight native loops — so the only HBM
+traffic per step is the streamed line coefficients (Miller) or nothing
+(pow). The grid is (batch_tiles, steps); TPU executes grid steps
+sequentially per core, so VMEM scratch persists across the step dimension
+(standard reduction pattern).
+
+Value parity: identical Montgomery envelope and term tables as the XLA
+path (fields.fp12) — outputs are bit-exact interchangeable.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.fp import NLIMBS, R_MOD_P, SETTLED, _const_limbs
+from ..utils.bn254 import BN_X_NAF
+from . import kernel_core as K
+from .fq12_kernels import (
+    LANES,
+    _mul_core,
+    _seg_tables,
+    _VocabRef,
+)
+
+DENSE = tuple(range(6))
+S034 = (0, 3, 4)
+S235 = (2, 3, 5)
+
+ONE_MONT_LIMBS = [int(x) for x in _const_limbs(R_MOD_P)]
+
+
+def _write_one(f_ref, zero):
+    """Store the Montgomery one into an f scratch ref."""
+    for c in range(12):
+        for l in range(NLIMBS):
+            v = ONE_MONT_LIMBS[l] if c == 0 else 0
+            f_ref[c, l] = zero + v
+
+
+def _copy_f(dst, src):
+    for c in range(12):
+        for l in range(NLIMBS):
+            dst[c, l] = src[c, l]
+
+
+def _ref_get(ref):
+    return lambda c, l: ref[c, l]
+
+
+def _ref_out(ref):
+    def out_set(seg, limbs):
+        for l in range(NLIMBS):
+            ref[seg, l] = limbs[l]
+
+    return out_set
+
+
+# ---------------------------------------------------------------------------
+# Miller f-accumulation kernel
+# ---------------------------------------------------------------------------
+
+
+def _miller_kernel(n_pairs, n_steps,
+                   dl_ref, dr_ref, sl_ref, sr_ref, cl_ref, cr_ref, flag_ref,
+                   tg_ref, ch_ref, out_ref,
+                   fA, fB, fC, vocab, rvocab):
+    t = pl.program_id(1)
+    zero = tg_ref[0, 0, 0] * 0
+
+    @pl.when(t == 0)
+    def _():
+        _write_one(fA, zero)
+
+    # f <- f^2  (fA -> fB)
+    _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fA),
+              lambda jj, cc, l: fA[2 * jj + cc, l],
+              _ref_out(fB), _VocabRef(vocab), _VocabRef(rvocab), zero)
+
+    # tangent multiplies (one per pair), ping-pong fB <-> fA
+    cur, nxt = fB, fA
+    for k in range(n_pairs):
+        _mul_core(S034, sl_ref, sr_ref, _ref_get(cur),
+                  lambda jj, cc, l, k=k: tg_ref[0, 6 * k + 2 * jj + cc, l],
+                  _ref_out(nxt), _VocabRef(vocab), _VocabRef(rvocab), zero)
+        cur, nxt = nxt, cur
+
+    # keep the pre-chord value, then chord chain, then digit-select
+    _copy_f(fC, cur)
+    for k in range(n_pairs):
+        _mul_core(S235, cl_ref, cr_ref, _ref_get(cur),
+                  lambda jj, cc, l, k=k: ch_ref[0, 6 * k + 2 * jj + cc, l],
+                  _ref_out(nxt), _VocabRef(vocab), _VocabRef(rvocab), zero)
+        cur, nxt = nxt, cur
+
+    flag = flag_ref[t]
+    for c in range(12):
+        for l in range(NLIMBS):
+            fA[c, l] = jnp.where(flag == 1, cur[c, l], fC[c, l])
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for c in range(12):
+            for l in range(NLIMBS):
+                out_ref[c, l] = fA[c, l]
+
+
+def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
+                    flags: np.ndarray, n_pairs: int,
+                    interpret=None) -> jnp.ndarray:
+    """Run the 64-step f-accumulation.
+
+    tg_arr/ch_arr: [steps, n_pairs*6, NLIMBS, R, 128] line stacks
+    (kernel layout); flags: int32 [steps] (1 = chord step).
+    Returns f in kernel layout [12, NLIMBS, R, 128].
+    """
+    if interpret is None:
+        from .fq12_kernels import on_tpu
+
+        interpret = not on_tpu()
+    n_steps = tg_arr.shape[0]
+    nrows = tg_arr.shape[3]
+    assert nrows % 8 == 0
+    grid = (nrows // 8, n_steps)
+
+    dl, dr, _ = _seg_tables(DENSE)
+    sl, sr, _ = _seg_tables(S034)
+    cl, cr, _ = _seg_tables(S235)
+
+    kern = partial(_miller_kernel, n_pairs, n_steps)
+    line_block = pl.BlockSpec(
+        (1, n_pairs * 6, NLIMBS, 8, 128),
+        lambda bt, t: (t, 0, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (12, NLIMBS, nrows, 128), jnp.int32
+        ),
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                  line_block, line_block],
+        out_specs=pl.BlockSpec(
+            (12, NLIMBS, 8, 128), lambda bt, t: (0, 0, bt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((24, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((18, NLIMBS, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(dl), jnp.asarray(dr), jnp.asarray(sl), jnp.asarray(sr),
+        jnp.asarray(cl), jnp.asarray(cr), jnp.asarray(flags, jnp.int32),
+        tg_arr, ch_arr,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cyclotomic x-power ladder kernel
+# ---------------------------------------------------------------------------
+
+
+def _pow_kernel(n_steps, dig_ref, dl_ref, dr_ref, m_ref, mc_ref, out_ref,
+                fA, fB, vocab, rvocab):
+    t = pl.program_id(1)
+    zero = m_ref[0, 0] * 0
+
+    @pl.when(t == 0)
+    def _():
+        _copy_f(fA, m_ref)
+
+    # res <- res^2 via Granger-Scott cyclotomic squaring (fA -> fB):
+    # the ladder only ever runs on unit-norm elements.
+    slots_in = [
+        (
+            [fA[2 * i, l] for l in range(NLIMBS)],
+            [fA[2 * i + 1, l] for l in range(NLIMBS)],
+        )
+        for i in range(6)
+    ]
+    sq_slots = K.k_cyc_sq(slots_in)
+    for i in range(6):
+        for l in range(NLIMBS):
+            fB[2 * i, l] = sq_slots[i][0][l]
+            fB[2 * i + 1, l] = sq_slots[i][1][l]
+
+    # res <- res * select(digit) (fB -> fA)
+    d = dig_ref[t]
+
+    def b_slot_get(jj, cc, l):
+        c = 2 * jj + cc
+        one_v = zero + (ONE_MONT_LIMBS[l] if c == 0 else 0)
+        return jnp.where(
+            d == 1, m_ref[c, l], jnp.where(d == -1, mc_ref[c, l], one_v)
+        )
+
+    _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fB), b_slot_get,
+              _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for c in range(12):
+            for l in range(NLIMBS):
+                out_ref[c, l] = fA[c, l]
+
+
+def pow_ladder_pallas(m_arr: jnp.ndarray, mc_arr: jnp.ndarray,
+                      digits: np.ndarray,
+                      interpret=None) -> jnp.ndarray:
+    """res = m^e where e is encoded by ``digits`` (MSB-first NAF tail: the
+    ladder starts at m, then per digit: square and multiply by
+    {m, conj(m), 1}). Kernel layout in/out [12, NLIMBS, R, 128]."""
+    if interpret is None:
+        from .fq12_kernels import on_tpu
+
+        interpret = not on_tpu()
+    n_steps = len(digits)
+    nrows = m_arr.shape[2]
+    assert nrows % 8 == 0
+    grid = (nrows // 8, n_steps)
+    dl, dr, _ = _seg_tables(DENSE)
+
+    kern = partial(_pow_kernel, n_steps)
+    fixed_block = pl.BlockSpec(
+        (12, NLIMBS, 8, 128), lambda bt, t: (0, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(m_arr.shape, jnp.int32),
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), fixed_block, fixed_block],
+        out_specs=fixed_block,
+        scratch_shapes=[
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((24, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((18, NLIMBS, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(np.asarray(digits, np.int32)), jnp.asarray(dl),
+        jnp.asarray(dr), m_arr, mc_arr,
+    )
+    return out
+
+
+#: MSB-first BN_X NAF digits with the leading 1 consumed by ladder init.
+BN_X_LADDER_DIGITS = np.asarray(list(reversed(BN_X_NAF))[1:], np.int32)

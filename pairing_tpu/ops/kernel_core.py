@@ -25,6 +25,7 @@ from ..fields.fp import (
     NLIMBS,
     NPRIME_LIMBS,
     P_LIMBS,
+    RADIX,
     RADIX_BITS,
 )
 from ..utils.bn254 import P
@@ -187,6 +188,52 @@ def k2_sub(a, b):
 
 def k2_scale(a, s):
     return (k_scale(a[0], s), k_scale(a[1], s))
+
+
+def k2_square(a):
+    """(a0+a1u)^2 = ((a0+a1)(a0-a1), 2 a0 a1); 2 wide muls, 2 reductions."""
+    a0, a1 = a
+    t0 = k_add(a0, a1)
+    t1 = k_sub_2p(a0, a1)
+    c0 = k_mont_reduce(k_mul_wide_carried(t0, t1), limb_bound=2 * RADIX)
+    c1 = k_mont_reduce(
+        k_mul_wide_carried(k_scale(a0, 2), a1), limb_bound=2 * RADIX
+    )
+    return (c0, c1)
+
+
+def k_cyc_sq(slots):
+    """Granger-Scott cyclotomic squaring on 6 Fq2 slots (see
+    fields.fp12.fq12_cyclotomic_sq). Input slots (2p, settled); output
+    same envelope via a weak reduction fold."""
+
+    def fq4_sq(x, y):
+        x2 = k2_square(x)
+        y2 = k2_square(y)
+        s = k2_square(k2_add(x, y))
+        cross = k2_sub(k2_sub(s, x2), y2)
+        return k2_add(x2, k2_mul_w6(y2)), cross
+
+    A0, A1 = fq4_sq(slots[0], slots[3])
+    B0, B1 = fq4_sq(slots[1], slots[4])
+    C0, C1 = fq4_sq(slots[2], slots[5])
+    out = [None] * 6
+    out[0] = k2_sub(k2_scale(A0, 3), k2_scale(slots[0], 2))
+    out[2] = k2_sub(k2_scale(B0, 3), k2_scale(slots[2], 2))
+    out[4] = k2_sub(k2_scale(C0, 3), k2_scale(slots[4], 2))
+    out[1] = k2_add(k2_scale(k2_mul_w6(C1), 3), k2_scale(slots[1], 2))
+    out[3] = k2_add(k2_scale(A1, 3), k2_scale(slots[3], 2))
+    out[5] = k2_add(k2_scale(B1, 3), k2_scale(slots[5], 2))
+    # renormalize each component to < 2p: multiply by mont-one (weak reduce)
+    from ..fields.fp import R_MOD_P as _RMP
+
+    one = [int(x) for x in _const_limbs(_RMP)]
+    norm = []
+    for c in out:
+        n0 = k_mont_reduce(k_mul_const(c[0], one, WIDE), limb_bound=1 << 18)
+        n1 = k_mont_reduce(k_mul_const(c[1], one, WIDE), limb_bound=1 << 18)
+        norm.append((n0, n1))
+    return norm
 
 
 def k2_mul_w6(a):

@@ -199,6 +199,34 @@ def fq12_div(a: Fq12, b: Fq12) -> Fq12:
     return fq12_mul(a, fq12_inv(b))
 
 
+def cyclotomic_square(z: Fq12) -> Fq12:
+    """Granger-Scott squaring for unit-norm (cyclotomic) elements.
+
+    Uses the Fq4 decomposition g_i = slot_i + slot_{i+3} * w^3 of the
+    coefficient basis ((w^3)^2 = xi); valid exactly on the cyclotomic
+    subgroup (post easy-part), where it equals fq12_mul(z, z).
+    """
+    s = fq12_to_fq2_slots(z)
+
+    def fq4_sq(a, b):
+        a2 = fq2_mul(a, a)
+        b2 = fq2_mul(b, b)
+        ab = fq2_sub(fq2_mul(fq2_add(a, b), fq2_add(a, b)), fq2_add(a2, b2))
+        return fq2_add(a2, fq2_mul(XI, b2)), ab
+
+    A0, A1 = fq4_sq(s[0], s[3])
+    B0, B1 = fq4_sq(s[1], s[4])
+    C0, C1 = fq4_sq(s[2], s[5])
+    out: List[Fq2Int] = [None] * 6  # type: ignore[list-item]
+    out[0] = fq2_sub(fq2_scale(A0, 3), fq2_scale(s[0], 2))
+    out[2] = fq2_sub(fq2_scale(B0, 3), fq2_scale(s[2], 2))
+    out[4] = fq2_sub(fq2_scale(C0, 3), fq2_scale(s[4], 2))
+    out[1] = fq2_add(fq2_scale(fq2_mul(XI, C1), 3), fq2_scale(s[1], 2))
+    out[3] = fq2_add(fq2_scale(A1, 3), fq2_scale(s[3], 2))
+    out[5] = fq2_add(fq2_scale(B1, 3), fq2_scale(s[5], 2))
+    return fq12_from_fq2_slots(out)
+
+
 def frobenius_map(a: Fq12, power: int) -> Fq12:
     """final_exp_native.rs:17-54: per-slot multiply by frob_coeffs(pow)^i."""
     pw = power % 12

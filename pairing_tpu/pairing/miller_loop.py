@@ -235,10 +235,46 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
 
     ch_full = tuple(scatter(c) for c in ch)
 
-    # Phase D: f-accumulation scan.
-    flags = jnp.asarray(
-        np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
-    )
+    # Phase D: f-accumulation — fused Pallas kernel on TPU, lax.scan
+    # fallback elsewhere / when tracing witnesses.
+    from ..ops import dispatch
+
+    flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
+    if dispatch.use_pallas() and not collect_trace:
+        f = _phase_d_pallas(tg, ch_full, flags_np, K, inner)
+        f_steps = None
+    else:
+        f, f_steps = _phase_d_scan(tg, ch_full, flags_np, K, inner, collect_trace)
+
+    # Epilogue multiplies, per pair in order (miller_loop_native.rs:274-280).
+    for k in range(K):
+
+        def pick(v: Fp2, kk=0):
+            return F2.from_limbs((v.c0.limbs[kk], v.c1.limbs[kk]))
+
+        f = F12.fq12_mul_sparse(
+            f, {2: pick(e1[0], k), 3: pick(e1[1], k), 5: pick(e1[2], k)}
+        )
+        f = F12.fq12_mul_sparse(
+            f, {2: pick(e2[0], k), 3: pick(e2[1], k), 5: pick(e2[2], k)}
+        )
+    f = fq12_cap(f)
+    if not collect_trace:
+        return f
+    trace = {
+        "f_steps": f_steps,  # per-iteration f limb pytree, leading axis 64
+        "r_affine": aff,  # G2 stack [130, K, ...]: 64 tops, 64 dbls, end, +Q1
+        "tangent_lines": tg,  # 3 x Fp2 [64, K, ...]
+        "chord_lines": ch,  # 3 x Fp2 [N_ADDS, K, ...]
+        "epilogue_lines": (e1, e2),  # 3 x Fp2 [K, ...] each
+        "q1": q1,
+        "neg_q2": nq2,
+    }
+    return f, trace
+
+
+def _phase_d_scan(tg, ch_full, flags_np, K, inner, collect_trace):
+    flags = jnp.asarray(flags_np)
 
     def fbody(f_l, xs):
         tg0, tg3, tg4, c2, c3, c5, flag = xs
@@ -276,33 +312,38 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
         flags,
     )
     f_l, f_steps = jax.lax.scan(fbody, _fq12_to_limbs(one), xs)
-    f = _fq12_from_limbs(f_l)
+    return _fq12_from_limbs(f_l), f_steps
 
-    # Epilogue multiplies, per pair in order (miller_loop_native.rs:274-280).
-    for k in range(K):
 
-        def pick(v: Fp2, kk=0):
-            return F2.from_limbs((v.c0.limbs[kk], v.c1.limbs[kk]))
+def _phase_d_pallas(tg, ch_full, flags_np, K, inner):
+    """Fused Miller f-accumulation via the Pallas kernel."""
+    from ..ops.fq12_kernels import from_kernel_layout
+    from ..ops.fused_kernels import miller_f_pallas
 
-        f = F12.fq12_mul_sparse(
-            f, {2: pick(e1[0], k), 3: pick(e1[1], k), 5: pick(e1[2], k)}
-        )
-        f = F12.fq12_mul_sparse(
-            f, {2: pick(e2[0], k), 3: pick(e2[1], k), 5: pick(e2[2], k)}
-        )
-    f = fq12_cap(f)
-    if not collect_trace:
-        return f
-    trace = {
-        "f_steps": f_steps,  # per-iteration f limb pytree, leading axis 64
-        "r_affine": aff,  # G2 stack [130, K, ...]: 64 tops, 64 dbls, end, +Q1
-        "tangent_lines": tg,  # 3 x Fp2 [64, K, ...]
-        "chord_lines": ch,  # 3 x Fp2 [N_ADDS, K, ...]
-        "epilogue_lines": (e1, e2),  # 3 x Fp2 [K, ...] each
-        "q1": q1,
-        "neg_q2": nq2,
-    }
-    return f, trace
+    arr, pad = _lines_to_kernel_layout(list(tg), K)
+    ch_arr, _ = _lines_to_kernel_layout(list(ch_full), K)
+    out = miller_f_pallas(arr, ch_arr, flags_np, K)
+    return from_kernel_layout(out, inner, pad)
+
+
+def _lines_to_kernel_layout(line3, K):
+    """3 x Fp2 [steps, K, *inner] -> [steps, K*6, NLIMBS, R, 128] + pad."""
+    arrs = []
+    for fp2 in line3:
+        arrs.append(F._cap_2p(fp2.c0).limbs)
+        arrs.append(F._cap_2p(fp2.c1).limbs)
+    # element shape [S, K, *inner, L]; want [S, K, 6, *inner, L]
+    x = jnp.stack(arrs, axis=2)
+    s = x.shape[0]
+    L = x.shape[-1]
+    flat = x.reshape(s, K * 6, -1, L)
+    b = flat.shape[2]
+    pad = (-b) % 1024
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n = flat.shape[2]
+    out = jnp.moveaxis(flat, -1, 2).reshape(s, K * 6, L, n // 128, 128)
+    return out, pad
 
 
 # ---------------------------------------------------------------------------
