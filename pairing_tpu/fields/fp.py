@@ -508,7 +508,23 @@ def fp_pow_bits(a: Fp, e: int) -> Fp:
 
 
 def fp_inv(a: Fp) -> Fp:
-    """Fermat inverse a^(p-2); Montgomery domain in/out."""
+    """Fermat inverse a^(p-2); Montgomery domain in/out.
+
+    On TPU the 253-step ladder runs as a fused Pallas kernel with the
+    accumulator resident in VMEM; elsewhere as a lax.scan."""
+    from ..ops import dispatch
+
+    if dispatch.use_pallas():
+        from ..ops.fp_kernels import (
+            fp_from_kernel_layout,
+            fp_pow_bits_pallas,
+            fp_to_kernel_layout,
+        )
+
+        c = _cap_2p(a)
+        arr, bs, pad = fp_to_kernel_layout(c.limbs)
+        out = fp_pow_bits_pallas(arr, P - 2)
+        return Fp(fp_from_kernel_layout(out, bs, pad), 2 * P, SETTLED)
     return fp_pow_bits(a, P - 2)
 
 

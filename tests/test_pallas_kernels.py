@@ -52,3 +52,29 @@ def test_fq12_mul_kernel_sparse(pattern):
         sparse = [line[j][bi] if j in pattern else None for j in range(6)]
         expect.append(o.sparse_fp12_multiply(xs[bi], sparse))
     assert F12.fq12_to_int_coeffs(got) == expect
+
+
+def test_fp_pow_kernel_inverse():
+    from pairing_tpu.fields import fp as F
+    from pairing_tpu.ops.fp_kernels import (
+        fp_from_kernel_layout,
+        fp_pow_bits_pallas,
+        fp_to_kernel_layout,
+    )
+
+    # interpret mode unrolls the step grid: use a short exponent on CPU
+    # (full p-2 ladder validated on TPU by tpu_validate.py)
+    e = 0b110101
+    xs = [RNG.randrange(1, P) for _ in range(8)]
+    a = F.to_mont(F.fp_from_ints(xs))
+
+    @jax.jit
+    def run(a):
+        arr, bs, pad = fp_to_kernel_layout(F._cap_2p(a).limbs)
+        out = fp_pow_bits_pallas(arr, e, interpret=True)
+        return F.Fp(fp_from_kernel_layout(out, bs, pad), 2 * P, F.SETTLED)
+
+    powed = run(a)
+    vals = F.fp_to_ints(F.canonical(F.from_mont(powed)))
+    for x, v in zip(xs, vals):
+        assert v == pow(x, e, P)

@@ -1,0 +1,84 @@
+"""Full-length kernel validation on real TPU hardware.
+
+CPU interpret mode unrolls pallas grids (untestably slow for 60-250-step
+ladders), so bit-exactness of the full-length fused kernels vs the oracle
+is validated here, on the hardware where grids execute natively.
+
+Run: python tpu_validate.py [--fast]
+"""
+
+import random
+import sys
+import time
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from pairing_tpu.curves import g1 as G1m
+from pairing_tpu.curves import g2 as G2m
+from pairing_tpu.fields import fp as F
+from pairing_tpu.fields import fp12 as F12
+from pairing_tpu.oracle import native as o
+from pairing_tpu.ops import dispatch
+from pairing_tpu.pairing import api, final_exp
+from pairing_tpu.utils import bn254 as c
+
+RNG = random.Random(90210)
+
+
+def check(name, fn):
+    t0 = time.time()
+    fn()
+    print(f"PASS {name} ({time.time()-t0:.1f}s)", flush=True)
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu", "requires TPU"
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    g1p = o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR))
+    g2p = o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
+
+    def t_fp_inv():
+        xs = [RNG.randrange(1, c.P) for _ in range(4)]
+        a = F.to_mont(F.fp_from_ints(xs))
+        dispatch.force_backend("pallas")
+        try:
+            inv = jax.jit(F.fp_inv)(a)
+        finally:
+            dispatch.force_backend(None)
+        vals = F.fp_to_ints(F.canonical(F.from_mont(inv)))
+        for x, v in zip(xs, vals):
+            assert v * x % c.P == 1
+
+    def t_pow_ladder():
+        m_int = o.easy_part(o.miller_loop(g2p, g1p))
+        m = F12.fq12_from_int_coeffs([m_int])
+        dispatch.force_backend("pallas")
+        try:
+            got = jax.jit(final_exp.pow_x_cyclotomic)(m)
+        finally:
+            dispatch.force_backend(None)
+        assert F12.fq12_to_int_coeffs(got) == [o.pow_fq12(m_int, c.BN_X)]
+
+    def t_pairing():
+        p = G1m.g1_from_ints([g1p])
+        q = G2m.g2_from_ints([g2p])
+        dispatch.force_backend("pallas")
+        try:
+            e = jax.jit(api.pairing)(p, q)
+        finally:
+            dispatch.force_backend(None)
+        assert F12.fq12_to_int_coeffs(e) == [o.pairing(g1p, g2p)]
+
+    check("fp_inv pallas ladder", t_fp_inv)
+    check("pow_x pallas ladder", t_pow_ladder)
+    check("full pairing pallas backend", t_pairing)
+    print("ALL PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()
