@@ -68,3 +68,23 @@ def test_multi_pairing_sharded_matches_oracle():
     got = F12.fq12_to_int_coeffs(out)[0]
     expect = o.final_exp(o.multi_miller_loop(list(zip(g1s, g2s))))
     assert got == expect
+
+
+def test_pairing_stream_checkpoint(tmp_path):
+    from pairing_tpu.parallel.runner import pairing_stream
+    from pairing_tpu.utils.config import PairingConfig
+
+    n = 6
+    g1s = [o.g1_mul((1, 2), 3 + i) for i in range(n)]
+    from pairing_tpu.utils import bn254 as cc
+
+    g2s = [o.g2_mul((cc.G2_GEN_X, cc.G2_GEN_Y), 5 + i) for i in range(n)]
+    cfg = PairingConfig(chunk_size=4, checkpoint_dir=str(tmp_path))
+    out1 = [c for c in pairing_stream(g1s, g2s, cfg)]
+    assert sum(len(c) for c in out1) == n
+    # resume: second run must reuse checkpoints (same values)
+    out2 = [c for c in pairing_stream(g1s, g2s, cfg)]
+    for a, b in zip(out1, out2):
+        assert a.tolist() == b.tolist()
+    # spot-check one value vs oracle
+    assert list(out1[0][1]) == o.pairing(g1s[1], g2s[1])

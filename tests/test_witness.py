@@ -111,3 +111,29 @@ def test_final_exp_witness():
     got = [F12.fq12_to_int_coeffs(x)[0] for x in tr["exp_outputs"]]
     assert got == [mx, mx2, mx3]
     assert F12.fq12_to_int_coeffs(tr["easy_part_out"]) == [f0]
+
+
+def test_multi_miller_witness():
+    # reference test_multi_miller_loop_target analogue (SURVEY.md §4 tier 2)
+    K = 2
+    g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(K)]
+    g2s = [
+        o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
+        for _ in range(K)
+    ]
+    ps = G1m.g1_from_ints(g1s)
+    qs = G2m.g2_from_ints(g2s)
+    f, tr = jax.jit(lambda q, p: W.multi_miller_loop_witness(q, p))(qs, ps)
+    assert F12.fq12_to_int_coeffs(f) == [
+        o.multi_miller_loop(list(zip(g1s, g2s)))
+    ]
+    # trajectory spot check: per-pair top states equal the Q inputs
+    aff = tr["r_affine"]
+    for k in range(K):
+        top = G2m.g2_to_ints(
+            G2m.G2(
+                jax.tree.map(lambda a: a[0, k], aff.x),
+                jax.tree.map(lambda a: a[0, k], aff.y),
+            )
+        )[0]
+        assert top == g2s[k]
