@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--validate", type=int, default=2,
                     help="check this many lanes vs the oracle")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a jax.profiler trace into this directory")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +84,11 @@ def main() -> None:
         out = fn(p, q)
         sync(out)
         times.append(time.time() - t0)
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            sync(fn(p, q))
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
     best = min(times)
     pairings_per_sec = args.batch / best
     print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)

@@ -79,6 +79,54 @@ def main():
 
         cs, t = timeit(fn, a, b)
         t /= 16
+    elif op in ("miller", "finalexp", "trajectory", "easy", "hard", "pow1"):
+        import random as _r
+
+        from pairing_tpu.curves import g1 as G1m
+        from pairing_tpu.curves import g2 as G2m
+        from pairing_tpu.oracle import native as o
+        from pairing_tpu.pairing import final_exp as FE
+        from pairing_tpu.pairing import miller_loop as ML
+        from pairing_tpu.utils import bn254 as c
+
+        rng2 = _r.Random(5)
+        n_unique = 8
+        g1s = [o.g1_mul(c.G1_GEN, rng2.randrange(1, c.R_SCALAR)) for _ in range(n_unique)]
+        g2s = [o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), rng2.randrange(1, c.R_SCALAR)) for _ in range(n_unique)]
+        reps = -(-batch // n_unique)
+        p = G1m.g1_from_ints((g1s * reps)[:batch])
+        q = G2m.g2_from_ints((g2s * reps)[:batch])
+
+        if op == "miller":
+            fn = jax.jit(ML.miller_loop)
+            cs, t = timeit(fn, q, p)
+        elif op == "trajectory":
+
+            @jax.jit
+            def fn(q):
+                import jax as _j
+
+                qs = _j.tree.map(lambda a: a[None], q)
+                tops, dbls, end = ML._trajectory(qs)
+                return end
+
+            cs, t = timeit(fn, q)
+        else:
+            m = jax.jit(ML.miller_loop)(q, p)
+            jax.block_until_ready(m)
+            if op == "finalexp":
+                fn = jax.jit(FE.final_exp)
+            elif op == "easy":
+                fn = jax.jit(FE.easy_part)
+            elif op == "hard":
+                m = jax.jit(FE.easy_part)(m)
+                jax.block_until_ready(m)
+                fn = jax.jit(FE.hard_part)
+            elif op == "pow1":
+                m = jax.jit(FE.easy_part)(m)
+                jax.block_until_ready(m)
+                fn = jax.jit(FE.pow_x_cyclotomic)
+            cs, t = timeit(fn, m)
     else:
         raise SystemExit(f"unknown op {op}")
 

@@ -228,17 +228,37 @@ def _conv_onehot(ncols: int) -> np.ndarray:
     return oh
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _mul_wide_raw(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
     """Schoolbook limb product, positions 0..ncols-1.
 
-    Formulated as outer-product + one 0/1 contraction: 3 HLO ops instead
-    of 21 shift-adds, which cuts XLA compile time of the deep pairing
-    graphs ~4x and maps the position-fold onto a single (int) matmul.
+    Two formulations, chosen per backend at trace time:
+      - CPU: outer-product + one 0/1 contraction (3 HLO ops instead of 21
+        shift-adds — ~4x faster XLA *compiles*, which dominate CI);
+      - TPU: static shift-adds (the dense int dot would execute 44x
+        redundant MACs on the VPU; the shift-add form does exactly the
+        441 needed).
     Batch shapes broadcast (e.g. a stacked trajectory times one operand).
     """
     bs = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, bs + a.shape[-1:])
     b = jnp.broadcast_to(b, bs + b.shape[-1:])
+    if _on_tpu():
+        acc = jnp.zeros(bs + (ncols,), dtype=jnp.int32)
+        for i in range(NLIMBS):
+            take = min(NLIMBS, ncols - i)
+            if take <= 0:
+                break
+            acc = acc.at[..., i : i + take].add(
+                a[..., i : i + 1] * b[..., :take]
+            )
+        return acc
     outer = (a[..., :, None] * b[..., None, :]).reshape(bs + (NLIMBS * NLIMBS,))
     return jax.lax.dot_general(
         outer,

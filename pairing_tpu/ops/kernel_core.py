@@ -155,6 +155,155 @@ def k_select(mask, a: Sequence, b: Sequence) -> List:
 
 
 # ---------------------------------------------------------------------------
+# Bound-tracked kernel values (mirrors fields.fp's static bound discipline)
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _kp_limbs(k: int):
+    """k*p as NLIMBS+1 host limbs."""
+    return [int(x) for x in _const_limbs(k * P, NLIMBS + 1)]
+
+
+class KV:
+    """In-kernel Fq value: settled limb list + static value bound."""
+
+    __slots__ = ("limbs", "bound")
+
+    def __init__(self, limbs, bound):
+        self.limbs = limbs
+        self.bound = bound
+
+
+def kv_add(a: KV, b: KV) -> KV:
+    return KV(k_add(a.limbs, b.limbs), a.bound + b.bound)
+
+
+def kv_sub(a: KV, b: KV) -> KV:
+    k = -(-b.bound // P)
+    kp = _kp_limbs(k)
+    zero = a.limbs[0] - a.limbs[0]
+    ae = list(a.limbs) + [zero]
+    be = list(b.limbs) + [zero]
+    x = [ae[i] - be[i] + kp[i] for i in range(NLIMBS + 1)]
+    out = k_carry(x, 5)[:NLIMBS]
+    bound = a.bound + k * P
+    assert bound < (1 << 271), "kv_sub bound overflow"
+    return KV(out, bound)
+
+
+def kv_neg(a: KV) -> KV:
+    k = -(-a.bound // P)
+    kp = _kp_limbs(k)
+    zero = a.limbs[0] - a.limbs[0]
+    ae = list(a.limbs) + [zero]
+    x = [kp[i] - ae[i] for i in range(NLIMBS + 1)]
+    return KV(k_carry(x, 5)[:NLIMBS], k * P + 1)
+
+
+def kv_scale(a: KV, s: int) -> KV:
+    return KV(k_scale(a.limbs, s, rounds=3), a.bound * s)
+
+
+_KV_MUL_MAX = 1 << 259
+
+
+def _kv_prep(a: KV) -> KV:
+    if a.bound > _KV_MUL_MAX:
+        from ..fields.fp import R_MOD_P as _RMP
+
+        om = [int(x) for x in _const_limbs(_RMP)]
+        red = k_mont_reduce(
+            k_mul_const(a.limbs, om, WIDE),
+            limb_bound=NLIMBS * (MASK + 4) * MASK,
+        )
+        return KV(red, 2 * P)
+    return a
+
+
+def kv_mul(a: KV, b: KV) -> KV:
+    a, b = _kv_prep(a), _kv_prep(b)
+    out = k_mont_mul(a.limbs, b.limbs)
+    return KV(out, 2 * P)
+
+
+def kv_select(mask, a: KV, b: KV) -> KV:
+    return KV(k_select(mask, a.limbs, b.limbs), max(a.bound, b.bound))
+
+
+class KV2:
+    """In-kernel Fq2 value."""
+
+    __slots__ = ("c0", "c1")
+
+    def __init__(self, c0: KV, c1: KV):
+        self.c0 = c0
+        self.c1 = c1
+
+
+def kv2_add(a, b):
+    return KV2(kv_add(a.c0, b.c0), kv_add(a.c1, b.c1))
+
+
+def kv2_sub(a, b):
+    return KV2(kv_sub(a.c0, b.c0), kv_sub(a.c1, b.c1))
+
+
+def kv2_neg(a):
+    return KV2(kv_neg(a.c0), kv_neg(a.c1))
+
+
+def kv2_scale(a, s):
+    return KV2(kv_scale(a.c0, s), kv_scale(a.c1, s))
+
+
+def kv2_mul(a, b):
+    a0, a1 = _kv_prep(a.c0), _kv_prep(a.c1)
+    b0, b1 = _kv_prep(b.c0), _kv_prep(b.c1)
+    nb1 = kv_neg(KV(b1.limbs, b1.bound))
+    w0 = [
+        x + y
+        for x, y in zip(
+            k_mul_wide_carried(a0.limbs, b0.limbs),
+            k_mul_wide_carried(a1.limbs, nb1.limbs),
+        )
+    ]
+    w1 = [
+        x + y
+        for x, y in zip(
+            k_mul_wide_carried(a0.limbs, b1.limbs),
+            k_mul_wide_carried(a1.limbs, b0.limbs),
+        )
+    ]
+    return KV2(
+        KV(k_mont_reduce(w0), 2 * P), KV(k_mont_reduce(w1), 2 * P)
+    )
+
+
+def kv2_square(a):
+    a0, a1 = _kv_prep(a.c0), _kv_prep(a.c1)
+    t0 = kv_add(KV(a0.limbs, a0.bound), KV(a1.limbs, a1.bound))
+    t1 = kv_sub(KV(a0.limbs, a0.bound), KV(a1.limbs, a1.bound))
+    t0p, t1p = _kv_prep(t0), _kv_prep(t1)
+    c0 = KV(
+        k_mont_reduce(k_mul_wide_carried(t0p.limbs, t1p.limbs)), 2 * P
+    )
+    c1 = KV(
+        k_mont_reduce(
+            k_mul_wide_carried(k_scale(a0.limbs, 2), a1.limbs)
+        ),
+        2 * P,
+    )
+    return KV2(c0, c1)
+
+
+def kv2_select(mask, a, b):
+    return KV2(kv_select(mask, a.c0, b.c0), kv_select(mask, a.c1, b.c1))
+
+
+# ---------------------------------------------------------------------------
 # Fq2 helpers: an element is a pair (c0, c1) of limb lists
 # ---------------------------------------------------------------------------
 
