@@ -166,11 +166,16 @@ def batch_to_affine(pts: G2Jac) -> G2:
     """Normalize a *stack* of Jacobian points (leading axis = trajectory /
     any extra batch dim) to affine with ONE Fp inversion per lane.
 
-    Montgomery's trick runs along axis 0 via two lax.scans (prefix products
-    forward, running-inverse backward); the single Fermat inversion then
-    amortizes over all N points. This replaces the reference's ~90
-    per-step affine inversions per Miller loop (SURVEY.md §7.2 step 3).
+    Montgomery's trick runs along axis 0 (prefix products forward,
+    running-inverse backward) — as fused Pallas kernels on TPU, lax.scans
+    elsewhere; the single Fermat inversion then amortizes over all N
+    points. This replaces the reference's ~90 per-step affine inversions
+    per Miller loop (SURVEY.md §7.2 step 3).
     """
+    from ..ops import dispatch
+
+    if dispatch.use_pallas():
+        return _batch_to_affine_pallas(pts)
     Z = F2.cap(pts.Z)
     inner_shape = Z.batch_shape[1:]
     one = F2.cap(F2.one_mont(inner_shape))
@@ -215,3 +220,63 @@ def neg_twisted_frobenius(q: G2) -> G2:
     c2 = F2.fp2_from_ints(TWIST_C2, q.batch_shape)
     c3 = F2.fp2_from_ints(TWIST_C3, q.batch_shape)
     return G2(F2.mul(c2, F2.conj(q.x)), F2.mul(c3, F2.neg_conj(q.y)))
+
+
+def _fp2_stack_to_kl(v: Fp2):
+    """Fp2 with batch [N, *inner] -> ([N, 2, L, R, 128], inner, pad)."""
+    c0 = F._cap_2p(v.c0).limbs
+    c1 = F._cap_2p(v.c1).limbs
+    n = c0.shape[0]
+    inner = c0.shape[1:-1]
+    L = c0.shape[-1]
+    flat = jnp.stack([c0.reshape(n, -1, L), c1.reshape(n, -1, L)], axis=1)
+    b = flat.shape[2]
+    pad = (-b) % 1024
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nb = flat.shape[2]
+    arr = jnp.moveaxis(flat, -1, 2).reshape(n, 2, L, nb // 128, 128)
+    return arr, inner, pad
+
+
+def _fp2_stack_from_kl(arr, inner, pad) -> Fp2:
+    from ..utils.bn254 import P as _P
+
+    n = arr.shape[0]
+    L = arr.shape[2]
+    nb = arr.shape[3] * 128
+    flat = jnp.moveaxis(arr.reshape(n, 2, L, nb), 2, -1)  # [N, 2, B, L]
+    if pad:
+        flat = flat[:, :, : nb - pad]
+    full = flat.reshape((n, 2) + inner + (L,))
+    return Fp2(
+        F.Fp(full[:, 0], 2 * _P, F.SETTLED), F.Fp(full[:, 1], 2 * _P, F.SETTLED)
+    )
+
+
+def _batch_to_affine_pallas(pts: G2Jac) -> G2:
+    """Phase N with the prefix/suffix passes as Pallas kernels."""
+    from ..ops.norm_kernels import prefix_products_pallas, running_inverse_pallas
+    from ..utils.bn254 import P as _P
+
+    z_arr, inner, pad = _fp2_stack_to_kl(pts.Z)
+    prefix, total = prefix_products_pallas(z_arr)
+
+    # total inverse on the flat batch (pallas Fermat ladder inside F2.inv)
+    total_fp2 = _fp2_stack_from_kl(total[None], inner, pad)
+    tinv = F2.cap(F2.inv(Fp2(
+        F.Fp(total_fp2.c0.limbs[0], 2 * _P, F.SETTLED),
+        F.Fp(total_fp2.c1.limbs[0], 2 * _P, F.SETTLED),
+    )))
+    tinv_arr, _, _ = _fp2_stack_to_kl(
+        Fp2(
+            F.Fp(tinv.c0.limbs[None], 2 * _P, F.SETTLED),
+            F.Fp(tinv.c1.limbs[None], 2 * _P, F.SETTLED),
+        )
+    )
+    zinv_arr = running_inverse_pallas(z_arr, prefix, tinv_arr[0])
+    zinv = _fp2_stack_from_kl(zinv_arr, inner, pad)
+
+    zinv2 = F2.square(zinv)
+    zinv3 = F2.mul(zinv2, zinv)
+    return G2(x=F2.mul(pts.X, zinv2), y=F2.mul(pts.Y, zinv3))

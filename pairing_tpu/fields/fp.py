@@ -238,27 +238,15 @@ def _on_tpu() -> bool:
 def _mul_wide_raw(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
     """Schoolbook limb product, positions 0..ncols-1.
 
-    Two formulations, chosen per backend at trace time:
-      - CPU: outer-product + one 0/1 contraction (3 HLO ops instead of 21
-        shift-adds — ~4x faster XLA *compiles*, which dominate CI);
-      - TPU: static shift-adds (the dense int dot would execute 44x
-        redundant MACs on the VPU; the shift-add form does exactly the
-        441 needed).
+    Outer-product + one 0/1 contraction: 3 HLO ops instead of 21
+    shift-adds (~4x faster XLA compiles; measured equal runtime on TPU,
+    where the sequential-op overhead dominates either way — the truly hot
+    paths run in the Pallas kernels instead).
     Batch shapes broadcast (e.g. a stacked trajectory times one operand).
     """
     bs = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, bs + a.shape[-1:])
     b = jnp.broadcast_to(b, bs + b.shape[-1:])
-    if _on_tpu():
-        acc = jnp.zeros(bs + (ncols,), dtype=jnp.int32)
-        for i in range(NLIMBS):
-            take = min(NLIMBS, ncols - i)
-            if take <= 0:
-                break
-            acc = acc.at[..., i : i + take].add(
-                a[..., i : i + 1] * b[..., :take]
-            )
-        return acc
     outer = (a[..., :, None] * b[..., None, :]).reshape(bs + (NLIMBS * NLIMBS,))
     return jax.lax.dot_general(
         outer,

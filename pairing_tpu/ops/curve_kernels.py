@@ -1,17 +1,18 @@
 """Pallas kernel for the Miller-loop point trajectory (Phase B).
 
 Walks the 64 NAF steps in Jacobian coordinates with the running point
-resident in VMEM, emitting per-step (loop-top, post-double) states for the
-bulk normalization phase. Replaces the XLA lax.scan, whose ~50 sequential
-small ops per step are HBM-latency bound.
+resident in a VMEM register file, emitting per-step (loop-top,
+post-double) states for the bulk normalization phase. The per-step point
+arithmetic (dbl-2009-l + madd-2007-bl, ~30 Fq2 ops) runs on the
+:mod:`fq2_vm` sequencer so kernel IR stays O(1) in program length.
 
-Formulas: dbl-2009-l (a=0) and madd-2007-bl, identical to curves.g2's XLA
-versions — affine results after normalization are bit-exact either way.
+Affine results after normalization are bit-exact with the XLA scan (same
+formulas, same Montgomery envelope).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -22,125 +23,150 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields.fp import NLIMBS, R_MOD_P, _const_limbs
 from ..utils.bn254 import P
 from . import kernel_core as K
-from .kernel_core import KV, KV2, kv2_add, kv2_mul, kv2_neg, kv2_scale, kv2_select, kv2_square, kv2_sub
+from .fq2_vm import Fq2Assembler, _kp_table, run_program
 
 ONE_MONT = [int(x) for x in _const_limbs(R_MOD_P)]
 
-
-def _read_kv2(ref, base) -> KV2:
-    c0 = KV([ref[base, l] for l in range(NLIMBS)], 2 * P)
-    c1 = KV([ref[base + 1, l] for l in range(NLIMBS)], 2 * P)
-    return KV2(c0, c1)
-
-
-def _write_kv2(ref, base, v: KV2):
-    for l in range(NLIMBS):
-        ref[base, l] = v.c0.limbs[l]
-        ref[base + 1, l] = v.c1.limbs[l]
+# register map
+R_X, R_Y, R_Z = 0, 1, 2  # running state
+R_XD, R_YD, R_ZD = 3, 4, 5  # post-double
+R_QX, R_QY = 6, 7  # affine partner (qy sign-selected per step)
+R_XA, R_YA, R_ZA = 14, 15, 16  # post-add
+NREG = 18
 
 
-def _jac_double(X, Y, Z):
-    A = kv2_square(X)
-    B = kv2_square(Y)
-    C = kv2_square(B)
-    t = kv2_square(kv2_add(X, B))
-    D = kv2_scale(kv2_sub(kv2_sub(t, A), C), 2)
-    E = kv2_scale(A, 3)
-    F = kv2_square(E)
-    X3 = kv2_sub(F, kv2_scale(D, 2))
-    Y3 = kv2_sub(kv2_mul(E, kv2_sub(D, X3)), kv2_scale(C, 8))
-    Z3 = kv2_scale(kv2_mul(Y, Z), 2)
-    return X3, Y3, Z3
+@lru_cache(maxsize=None)
+def _step_program() -> np.ndarray:
+    a = Fq2Assembler(NREG)
+    for r, b in ((R_X, 2 * P), (R_Y, 2 * P), (R_Z, 2 * P),
+                 (R_QX, 2 * P), (R_QY, 2 * P + 2)):
+        a.set_bound(r, b)
+
+    # --- double: (r0, r1, r2) -> (r3, r4, r5)   [dbl-2009-l, a=0]
+    a.sq(8, R_X)            # A
+    a.sq(9, R_Y)            # B
+    a.sq(10, 9)             # C
+    a.add(11, R_X, 9)
+    a.sq(11, 11)            # (X+B)^2
+    a.sub(11, 11, 8)
+    a.sub(11, 11, 10)
+    a.scale(11, 11, 2)      # D
+    a.scale(8, 8, 3)        # E = 3A
+    a.sq(12, 8)             # F
+    a.scale(13, 11, 2)
+    a.sub(R_XD, 12, 13)     # X3 = F - 2D
+    a.sub(13, 11, R_XD)
+    a.mul(13, 8, 13)        # E (D - X3)
+    a.scale(10, 10, 8)      # 8C
+    a.sub(R_YD, 13, 10)     # Y3
+    a.mul(13, R_Y, R_Z)
+    a.scale(R_ZD, 13, 2)    # Z3 = 2YZ
+    a.cap(R_XD)
+    a.cap(R_YD)
+    a.cap(R_ZD)
+
+    # --- mixed add: (r3..r5) + (r6, r7) -> (r14..r16)  [madd-2007-bl]
+    a.sq(8, R_ZD)           # Z1Z1
+    a.mul(9, R_QX, 8)       # U2
+    a.mul(10, R_QY, R_ZD)
+    a.mul(10, 10, 8)        # S2
+    a.sub(9, 9, R_XD)       # H
+    a.sq(11, 9)             # HH
+    a.scale(12, 11, 4)      # I
+    a.mul(13, 9, 12)        # J
+    a.sub(10, 10, R_YD)
+    a.scale(10, 10, 2)      # r
+    a.mul(12, R_XD, 12)     # V
+    a.sq(R_XA, 10)
+    a.sub(R_XA, R_XA, 13)
+    a.scale(17, 12, 2)
+    a.sub(R_XA, R_XA, 17)   # X3 = r^2 - J - 2V
+    a.sub(12, 12, R_XA)
+    a.mul(12, 10, 12)       # r (V - X3)
+    a.mul(13, R_YD, 13)
+    a.scale(13, 13, 2)      # 2 Y1 J
+    a.sub(R_YA, 12, 13)     # Y3
+    a.add(17, R_ZD, 9)
+    a.sq(17, 17)
+    a.sub(17, 17, 8)
+    a.sub(R_ZA, 17, 11)     # Z3 = (Z+H)^2 - Z1Z1 - HH
+    a.cap(R_XA)
+    a.cap(R_YA)
+    a.cap(R_ZA)
+    return a.table()
 
 
-def _jac_mixed_add(X, Y, Z, qx, qy):
-    Z1Z1 = kv2_square(Z)
-    U2 = kv2_mul(qx, Z1Z1)
-    S2 = kv2_mul(kv2_mul(qy, Z), Z1Z1)
-    H = kv2_sub(U2, X)
-    HH = kv2_square(H)
-    I = kv2_scale(HH, 4)
-    J = kv2_mul(H, I)
-    r = kv2_scale(kv2_sub(S2, Y), 2)
-    V = kv2_mul(X, I)
-    X3 = kv2_sub(kv2_sub(kv2_square(r), J), kv2_scale(V, 2))
-    Y3 = kv2_sub(kv2_mul(r, kv2_sub(V, X3)), kv2_scale(kv2_mul(Y, J), 2))
-    Z3 = kv2_sub(kv2_sub(kv2_square(kv2_add(Z, H)), Z1Z1), HH)
-    return X3, Y3, Z3
-
-
-def _cap2(v: KV2) -> KV2:
-    # outputs of mul/square are < 2p already; linear results may exceed —
-    # fold via weak reduce so the stored state keeps the (2p, settled)
-    # envelope.
-    def cap(x: KV) -> KV:
-        if x.bound <= 2 * P:
-            return x
-        return K._kv_prep(KV(x.limbs, 1 << 260))  # force weak reduce
-
-    return KV2(cap(v.c0), cap(v.c1))
-
-
-def _traj_kernel(n_steps, dig_ref, q_ref, out_top, out_dbl, out_end, state):
+def _traj_kernel(n_steps, n_ops, dig_ref, prog_ref, kp_ref, q_ref,
+                 out_top, out_dbl, out_end, regs):
     t = pl.program_id(1)
     zero = q_ref[0, 0] * 0
 
     @pl.when(t == 0)
     def _():
-        for comp in range(4):
-            for l in range(NLIMBS):
-                state[comp, l] = q_ref[comp, l]
+        # state <- (qx, qy, 1)
         for l in range(NLIMBS):
-            state[4, l] = zero + ONE_MONT[l]  # Z.c0 = 1
-            state[5, l] = zero  # Z.c1 = 0
+            regs[R_X, 0, l] = q_ref[0, l]
+            regs[R_X, 1, l] = q_ref[1, l]
+            regs[R_Y, 0, l] = q_ref[2, l]
+            regs[R_Y, 1, l] = q_ref[3, l]
+            regs[R_Z, 0, l] = zero + ONE_MONT[l]
+            regs[R_Z, 1, l] = zero
 
-    X = _read_kv2(state, 0)
-    Y = _read_kv2(state, 2)
-    Z = _read_kv2(state, 4)
+    # per-step prologue: partner = (qx, +-qy)
+    digit = dig_ref[t]
+    qy0 = [q_ref[2, l] for l in range(NLIMBS)]
+    qy1 = [q_ref[3, l] for l in range(NLIMBS)]
+    nqy0 = K.k_neg_2p(qy0)
+    nqy1 = K.k_neg_2p(qy1)
+    pos = digit > 0
+    for l in range(NLIMBS):
+        regs[R_QX, 0, l] = q_ref[0, l]
+        regs[R_QX, 1, l] = q_ref[1, l]
+        regs[R_QY, 0, l] = jnp.where(pos, qy0[l], nqy0[l])
+        regs[R_QY, 1, l] = jnp.where(pos, qy1[l], nqy1[l])
 
     # emit loop-top state
-    for comp in range(6):
-        for l in range(NLIMBS):
-            out_top[0, comp, l] = state[comp, l]
+    for i, r in enumerate((R_X, R_Y, R_Z)):
+        for c in range(2):
+            for l in range(NLIMBS):
+                out_top[0, 2 * i + c, l] = regs[r, c, l]
 
-    Xd, Yd, Zd = _jac_double(X, Y, Z)
-    Xd, Yd, Zd = _cap2(Xd), _cap2(Yd), _cap2(Zd)
-    for base, v in ((0, Xd), (2, Yd), (4, Zd)):
-        for l in range(NLIMBS):
-            out_dbl[0, base + (0), l] = v.c0.limbs[l]
-            out_dbl[0, base + 1, l] = v.c1.limbs[l]
+    run_program(prog_ref, n_ops, regs, kp_ref)
 
-    digit = dig_ref[t]
-    qx = _read_kv2(q_ref, 0)
-    qy = _read_kv2(q_ref, 2)
-    qy_sel = kv2_select(digit > 0, qy, kv2_neg(qy))
-    qy_sel = KV2(KV(qy_sel.c0.limbs, 2 * P + 1), KV(qy_sel.c1.limbs, 2 * P + 1))
-    Xa, Ya, Za = _jac_mixed_add(Xd, Yd, Zd, qx, qy_sel)
-    Xa, Ya, Za = _cap2(Xa), _cap2(Ya), _cap2(Za)
+    # emit post-double state
+    for i, r in enumerate((R_XD, R_YD, R_ZD)):
+        for c in range(2):
+            for l in range(NLIMBS):
+                out_dbl[0, 2 * i + c, l] = regs[r, c, l]
 
-    keep = digit != 0
-    Xn = kv2_select(keep, Xa, Xd)
-    Yn = kv2_select(keep, Ya, Yd)
-    Zn = kv2_select(keep, Za, Zd)
-    _write_kv2(state, 0, Xn)
-    _write_kv2(state, 2, Yn)
-    _write_kv2(state, 4, Zn)
+    # state <- digit != 0 ? added : doubled
+    take = digit != 0
+    for dst, ra, rd in ((R_X, R_XA, R_XD), (R_Y, R_YA, R_YD), (R_Z, R_ZA, R_ZD)):
+        for c in range(2):
+            for l in range(NLIMBS):
+                regs[dst, c, l] = jnp.where(
+                    take, regs[ra, c, l], regs[rd, c, l]
+                )
 
     @pl.when(t == n_steps - 1)
     def _():
-        for comp in range(6):
-            for l in range(NLIMBS):
-                out_end[comp, l] = state[comp, l]
+        for i, r in enumerate((R_X, R_Y, R_Z)):
+            for c in range(2):
+                for l in range(NLIMBS):
+                    out_end[2 * i + c, l] = regs[r, c, l]
 
 
 def trajectory_pallas(q_arr: jnp.ndarray, digits: np.ndarray, interpret=None):
     """q_arr: affine Q kernel layout [4, NLIMBS, R, 128] (x.c0, x.c1,
     y.c0, y.c1). Returns (tops, dbls, end): [steps, 6, L, R, 128] x2 and
-    [6, L, R, 128] Jacobian states (X, Y, Z as Fq2 pairs)."""
+    [6, L, R, 128] Jacobian states (X, Y, Z as Fq2 pairs), all in the
+    (2p, settled) envelope."""
     if interpret is None:
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
+    prog = _step_program()
+    n_ops = prog.shape[0]
     n_steps = len(digits)
     nrows = q_arr.shape[2]
     assert nrows % 8 == 0
@@ -150,8 +176,9 @@ def trajectory_pallas(q_arr: jnp.ndarray, digits: np.ndarray, interpret=None):
         (1, 6, NLIMBS, 8, 128), lambda bt, t: (t, 0, 0, bt, 0),
         memory_space=pltpu.VMEM,
     )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     tops, dbls, end = pl.pallas_call(
-        partial(_traj_kernel, n_steps),
+        partial(_traj_kernel, n_steps, n_ops),
         out_shape=(
             jax.ShapeDtypeStruct((n_steps, 6, NLIMBS, nrows, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_steps, 6, NLIMBS, nrows, 128), jnp.int32),
@@ -159,7 +186,9 @@ def trajectory_pallas(q_arr: jnp.ndarray, digits: np.ndarray, interpret=None):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            smem(),
+            smem(),
+            smem(),
             pl.BlockSpec(
                 (4, NLIMBS, 8, 128), lambda bt, t: (0, 0, bt, 0),
                 memory_space=pltpu.VMEM,
@@ -173,7 +202,12 @@ def trajectory_pallas(q_arr: jnp.ndarray, digits: np.ndarray, interpret=None):
                 memory_space=pltpu.VMEM,
             ),
         ),
-        scratch_shapes=[pltpu.VMEM((6, NLIMBS, 8, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((NREG, 2, NLIMBS, 8, 128), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray(np.asarray(digits, np.int32)), q_arr)
+    )(
+        jnp.asarray(np.asarray(digits, np.int32)),
+        jnp.asarray(prog),
+        jnp.asarray(_kp_table()),
+        q_arr,
+    )
     return tops, dbls, end

@@ -35,3 +35,14 @@ def force_backend(name: Optional[str]) -> None:
 
 def use_pallas() -> bool:
     return backend() == "pallas"
+
+
+def fq12_mul(a, b):
+    """Dense Fq12 product via the active backend."""
+    if use_pallas():
+        from .fq12_kernels import fq12_mul_pallas
+
+        return fq12_mul_pallas(a, b)
+    from ..fields import fp12 as F12
+
+    return F12.fq12_mul(a, b)

@@ -145,6 +145,14 @@ def k_neg_2p(a: Sequence) -> List:
     return k_carry(x, 4)[:NLIMBS]
 
 
+def k_neg_4p(a: Sequence) -> List:
+    """4p - a for a < 4p."""
+    zero = a[0] - a[0]
+    ae = list(a) + [zero]
+    x = [KP4[i] - ae[i] for i in range(NLIMBS + 1)]
+    return k_carry(x, 4)[:NLIMBS]
+
+
 def k_scale(a: Sequence, s: int, rounds: int = 2) -> List:
     return k_carry([x * s for x in a], rounds)
 
@@ -317,9 +325,10 @@ def k_mul_wide_carried(a: Sequence, b: Sequence) -> List:
 def k2_mul(a, b):
     # raw position sums approach 2^30.4 each, so carry each product before
     # accumulating (two raws summed would overflow int32).
+    # Operands may be up to 4p (the c1 negation uses a 4p offset).
     a0, a1 = a
     b0, b1 = b
-    nb1 = k_neg_2p(b1)
+    nb1 = k_neg_4p(b1)
     w0 = [x + y for x, y in zip(k_mul_wide_carried(a0, b0), k_mul_wide_carried(a1, nb1))]
     w1 = [x + y for x, y in zip(k_mul_wide_carried(a0, b1), k_mul_wide_carried(a1, b0))]
     c0 = k_mont_reduce(w0)

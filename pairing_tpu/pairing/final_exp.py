@@ -71,15 +71,24 @@ def pow_x_cyclotomic(m: Fq12) -> Fq12:
 
 def easy_part(a: Fq12) -> Fq12:
     """a -> a^((q^6-1)(q^2+1)) (final_exp_native.rs:195-206)."""
+    from ..ops import dispatch
+
     f1 = F12.conjugate(a)
-    f2 = F12.fq12_div(f1, a)
+    if dispatch.use_pallas():
+        from ..ops.inv_kernels import fq12_inv_pallas
+
+        f2 = dispatch.fq12_mul(f1, fq12_inv_pallas(a))
+    else:
+        f2 = F12.fq12_div(f1, a)
     f3 = F12.frobenius_map(f2, 2)
-    return F12.fq12_mul(f3, f2)
+    return dispatch.fq12_mul(f3, f2)
 
 
 def hard_part(m: Fq12) -> Fq12:
     """halo2-lib addition chain (final_exp_native.rs:130-169)."""
-    mul, conj, frob = F12.fq12_mul, F12.conjugate, F12.frobenius_map
+    from ..ops import dispatch
+
+    mul, conj, frob = dispatch.fq12_mul, F12.conjugate, F12.frobenius_map
 
     mp = frob(m, 1)
     mp2 = frob(m, 2)

@@ -147,6 +147,50 @@ def _trajectory(q: G2):
     return tops, dbls, end
 
 
+def _trajectory_pallas(q: G2):
+    """Phase B via the fq2_vm trajectory kernel; same output structure as
+    :func:`_trajectory` (nested limb tuples, batch-last layout)."""
+    from ..ops.curve_kernels import trajectory_pallas
+
+    batch = q.batch_shape  # (K, *inner)
+    comps = [
+        F._cap_2p(q.x.c0).limbs,
+        F._cap_2p(q.x.c1).limbs,
+        F._cap_2p(q.y.c0).limbs,
+        F._cap_2p(q.y.c1).limbs,
+    ]
+    flat = jnp.stack([c.reshape(-1, F.NLIMBS) for c in comps])  # [4, B, L]
+    b = flat.shape[1]
+    pad = (-b) % 1024
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+    n = flat.shape[1]
+    q_arr = jnp.moveaxis(flat, -1, 1).reshape(4, F.NLIMBS, n // 128, 128)
+
+    digits = np.asarray(STEP_DIGITS, np.int32)
+    tops_k, dbls_k, end_k = trajectory_pallas(q_arr, digits)
+
+    def back(arr, lead):  # [*lead, 6, L, R, 128] -> nested limb tuples
+        nrows = arr.shape[-2]
+        flat = jnp.moveaxis(
+            arr.reshape(lead + (6, F.NLIMBS, nrows * 128)), -2, -1
+        )  # [*lead, 6, B_pad, L]
+        if pad:
+            flat = flat[..., : n - pad, :]
+        full = flat.reshape(lead + (6,) + batch + (F.NLIMBS,))
+        comps6 = [full[(slice(None),) * len(lead) + (i,)] for i in range(6)]
+        return (
+            (comps6[0], comps6[1]),
+            (comps6[2], comps6[3]),
+            (comps6[4], comps6[5]),
+        )
+
+    tops = back(tops_k, (N_STEPS,))
+    dbls = back(dbls_k, (N_STEPS,))
+    end = back(end_k, ())
+    return tops, dbls, end
+
+
 # ---------------------------------------------------------------------------
 # Core Miller loop (pairs axis K leading)
 # ---------------------------------------------------------------------------
@@ -166,8 +210,14 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
     K = kshape[0]
     inner = kshape[1:]
 
-    # Phase B: trajectories for all pairs at once ([K, ...] batch).
-    tops, dbls, end_l = _trajectory(qs)
+    # Phase B: trajectories for all pairs at once ([K, ...] batch) —
+    # fused VM kernel on TPU, lax.scan elsewhere.
+    from ..ops import dispatch
+
+    if dispatch.use_pallas():
+        tops, dbls, end_l = _trajectory_pallas(qs)
+    else:
+        tops, dbls, end_l = _trajectory(qs)
 
     # Epilogue points (miller_loop_native.rs:183-188).
     q1 = twisted_frobenius(qs)

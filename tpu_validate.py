@@ -74,9 +74,25 @@ def main():
             dispatch.force_backend(None)
         assert F12.fq12_to_int_coeffs(e) == [o.pairing(g1p, g2p)]
 
+    def t_determinism():
+        # repeat-run bit-exactness (the TPU analogue of the reference's
+        # "race detection: none needed" — SURVEY.md §5)
+        p = G1m.g1_from_ints([g1p] * 4)
+        q = G2m.g2_from_ints([g2p] * 4)
+        dispatch.force_backend("pallas")
+        try:
+            fn = jax.jit(api.pairing)
+            a = F12.fq12_to_int_coeffs(fn(p, q))
+            b = F12.fq12_to_int_coeffs(fn(p, q))
+        finally:
+            dispatch.force_backend(None)
+        assert a == b
+        assert a[0] == a[1] == a[2] == a[3]
+
     check("fp_inv pallas ladder", t_fp_inv)
     check("pow_x pallas ladder", t_pow_ladder)
     check("full pairing pallas backend", t_pairing)
+    check("repeat-run determinism", t_determinism)
     print("ALL PASS", flush=True)
 
 
