@@ -290,7 +290,9 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
     from ..ops import dispatch
 
     flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
-    if dispatch.use_pallas() and not collect_trace:
+    # The fused kernel streams n_pairs*6 line components per step; K <= 2
+    # fits VMEM comfortably — larger products fall back to the scan.
+    if dispatch.use_pallas() and not collect_trace and K <= 2:
         f = _phase_d_pallas(tg, ch_full, flags_np, K, inner)
         f_steps = None
     else:
@@ -412,5 +414,22 @@ def miller_loop(q: G2, p: G1) -> Fq12:
 
 def multi_miller_loop(qs: G2, ps: G1) -> Fq12:
     """multi_miller_loop_native (miller_loop_native.rs:324-326): product of
-    K pairings with shared squarings; leading axis of qs/ps is K."""
+    K pairings with shared squarings; leading axis of qs/ps is K.
+
+    On the pallas backend, K > 2 products are split into K<=2 groups whose
+    partial accumulators multiply together — value-identical because line
+    factors commute into f multiplicatively (SURVEY.md §3.4)."""
+    from ..ops import dispatch
+
+    K = qs.batch_shape[0]
+    if dispatch.use_pallas() and K > 2:
+        f = None
+        for start in range(0, K, 2):
+            sl = slice(start, min(start + 2, K))
+            part = _miller_core(
+                jax.tree.map(lambda a: a[sl], qs),
+                jax.tree.map(lambda a: a[sl], ps),
+            )
+            f = part if f is None else fq12_cap(dispatch.fq12_mul(f, part))
+        return f
     return _miller_core(qs, ps)
