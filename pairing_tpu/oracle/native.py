@@ -199,6 +199,25 @@ def fq12_div(a: Fq12, b: Fq12) -> Fq12:
     return fq12_mul(a, fq12_inv(b))
 
 
+def to_tower_basis(a: Fq12):
+    """Coefficient basis -> arkworks tower basis (the `MyFq12 <-> Fq12`
+    conversion of plonky2-bn254, SURVEY.md §2.2).
+
+    Tower: Fq12 = Fq6[w]/(w^2 - v), Fq6 = Fq2[v]/(v^3 - xi), with w the
+    same sextic root (w^6 = xi) and v = w^2 — so the basis change is the
+    slot regrouping c0 = (s0, s2, s4), c1 = (s1, s3, s5).
+    Returns ((c00, c01, c02), (c10, c11, c12)) of Fq2 pairs.
+    """
+    s = fq12_to_fq2_slots(a)
+    return ((s[0], s[2], s[4]), (s[1], s[3], s[5]))
+
+
+def from_tower_basis(tower) -> Fq12:
+    """Inverse of :func:`to_tower_basis`."""
+    (c00, c01, c02), (c10, c11, c12) = tower
+    return fq12_from_fq2_slots([c00, c10, c01, c11, c02, c12])
+
+
 def cyclotomic_square(z: Fq12) -> Fq12:
     """Granger-Scott squaring for unit-norm (cyclotomic) elements.
 

@@ -69,6 +69,31 @@ def pow_x_cyclotomic(m: Fq12) -> Fq12:
     return _fq12_from_limbs(res_l)
 
 
+def fq12_pow(a: Fq12, e: int) -> Fq12:
+    """General static-exponent Fq12 power (pow_native parity,
+    final_exp_native.rs:56-84, for arbitrary elements — no cyclotomic
+    assumption, so NAF -1 digits use a true inverse)."""
+    assert e >= 1
+    from ..fields.fp12 import fq12_inv
+    from ..utils.bn254 import get_naf
+
+    naf = list(reversed(get_naf(e)))
+    assert naf[0] == 1
+    a = fq12_cap(a)
+    a_inv = None
+    res = a
+    for d in naf[1:]:
+        res = F12.fq12_sq(res)
+        if d == 1:
+            res = F12.fq12_mul(res, a)
+        elif d == -1:
+            if a_inv is None:
+                a_inv = fq12_cap(fq12_inv(a))
+            res = F12.fq12_mul(res, a_inv)
+        res = fq12_cap(res)
+    return res
+
+
 def easy_part(a: Fq12) -> Fq12:
     """a -> a^((q^6-1)(q^2+1)) (final_exp_native.rs:195-206)."""
     from ..ops import dispatch

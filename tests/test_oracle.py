@@ -113,3 +113,14 @@ def test_pairing_generator_smoke():
     # reference test_pairing_final (final_exp_native.rs:231-238)
     e = o.pairing(G1, G2)
     assert len(e) == 12 and all(0 <= x < c.P for x in e)
+
+
+def test_tower_basis_roundtrip():
+    rng = random.Random(77)
+    x = rand_fq12(rng)
+    tower = o.to_tower_basis(x)
+    assert o.from_tower_basis(tower) == x
+    # tower c0/c1 regrouping: product consistency through the basis change
+    y = rand_fq12(rng)
+    xy = o.fq12_mul(x, y)
+    assert o.from_tower_basis(o.to_tower_basis(xy)) == xy

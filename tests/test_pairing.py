@@ -92,3 +92,14 @@ def test_to_one_product_of_pairings():
     qs = G2m.g2_from_ints(q_pts)
     out = jax.jit(api.multi_pairing)(ps, qs)
     assert F12.fq12_to_int_coeffs(out) == [o.fq12_one()]
+
+
+def test_fq12_pow_general():
+    # pow_native parity: arbitrary element, arbitrary exponent (with -1
+    # NAF digits exercising the true-inverse path)
+    rng = random.Random(11)
+    x = [rng.randrange(c.P) for _ in range(12)]
+    e = 0b101101110101  # NAF has -1 digits
+    a = F12.fq12_from_int_coeffs([x])
+    got = jax.jit(lambda a: final_exp.fq12_pow(a, e))(a)
+    assert F12.fq12_to_int_coeffs(got) == [o.pow_fq12(x, e)]
