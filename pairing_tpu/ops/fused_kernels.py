@@ -94,15 +94,22 @@ def _miller_kernel(n_pairs, n_steps,
                   _ref_out(nxt), _VocabRef(vocab), _VocabRef(rvocab), zero)
         cur, nxt = nxt, cur
 
-    # keep the pre-chord value, then chord chain, then digit-select
+    # keep the pre-chord value; chord multiplies only run on digit steps
+    # (38 of 64 steps skip them entirely)
     _copy_f(fC, cur)
-    for k in range(n_pairs):
-        _mul_core(S235, cl_ref, cr_ref, _ref_get(cur),
-                  lambda jj, cc, l, k=k: ch_ref[0, 6 * k + 2 * jj + cc, l],
-                  _ref_out(nxt), _VocabRef(vocab), _VocabRef(rvocab), zero)
-        cur, nxt = nxt, cur
-
     flag = flag_ref[t]
+
+    @pl.when(flag == 1)
+    def _():
+        c, n = cur, nxt
+        for k in range(n_pairs):
+            _mul_core(S235, cl_ref, cr_ref, _ref_get(c),
+                      lambda jj, cc, l, k=k: ch_ref[0, 6 * k + 2 * jj + cc, l],
+                      _ref_out(n), _VocabRef(vocab), _VocabRef(rvocab), zero)
+            c, n = n, c
+
+    for _ in range(n_pairs):
+        cur, nxt = nxt, cur  # mirror the buffer parity of the chord chain
     for c in range(12):
         for l in range(NLIMBS):
             fA[c, l] = jnp.where(flag == 1, cur[c, l], fC[c, l])
@@ -200,18 +207,21 @@ def _pow_kernel(n_steps, dig_ref, dl_ref, dr_ref, m_ref, mc_ref, out_ref,
             fB[2 * i, l] = sq_slots[i][0][l]
             fB[2 * i + 1, l] = sq_slots[i][1][l]
 
-    # res <- res * select(digit) (fB -> fA)
+    # res <- res * (m or conj m), only on nonzero digits (fB -> fA)
     d = dig_ref[t]
 
-    def b_slot_get(jj, cc, l):
-        c = 2 * jj + cc
-        one_v = zero + (ONE_MONT_LIMBS[l] if c == 0 else 0)
-        return jnp.where(
-            d == 1, m_ref[c, l], jnp.where(d == -1, mc_ref[c, l], one_v)
-        )
+    @pl.when(d != 0)
+    def _():
+        def b_slot_get(jj, cc, l):
+            c = 2 * jj + cc
+            return jnp.where(d == 1, m_ref[c, l], mc_ref[c, l])
 
-    _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fB), b_slot_get,
-              _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
+        _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fB), b_slot_get,
+                  _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
+
+    @pl.when(d == 0)
+    def _():
+        _copy_f(fA, fB)
 
     @pl.when(t == n_steps - 1)
     def _():
