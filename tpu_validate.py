@@ -89,10 +89,33 @@ def main():
         assert a == b
         assert a[0] == a[1] == a[2] == a[3]
 
+    def t_multi_k4():
+        # K=4 exercises the pallas K>2 group-split path (partial Miller
+        # accumulators multiplied together)
+        K = 4
+        g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(K)]
+        g2s = [
+            o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
+            for _ in range(K)
+        ]
+        from pairing_tpu.pairing import miller_loop as ML
+
+        dispatch.force_backend("pallas")
+        try:
+            f = jax.jit(ML.multi_miller_loop)(
+                G2m.g2_from_ints(g2s), G1m.g1_from_ints(g1s)
+            )
+        finally:
+            dispatch.force_backend(None)
+        assert F12.fq12_to_int_coeffs(f) == [
+            o.multi_miller_loop(list(zip(g1s, g2s)))
+        ]
+
     check("fp_inv pallas ladder", t_fp_inv)
     check("pow_x pallas ladder", t_pow_ladder)
     check("full pairing pallas backend", t_pairing)
     check("repeat-run determinism", t_determinism)
+    check("multi-miller K=4 group split", t_multi_k4)
     print("ALL PASS", flush=True)
 
 
