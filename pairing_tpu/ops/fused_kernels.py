@@ -185,49 +185,49 @@ def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
 
 def _pow_kernel(n_steps, dig_ref, dl_ref, dr_ref, m_ref, mc_ref, out_ref,
                 fA, fB, vocab, rvocab):
-    # Single grid step per batch tile: the whole ladder runs as an
-    # in-kernel fori (nothing streams per step), avoiding the fixed
-    # per-grid-step pipeline cost that dominated the stepped variant.
+    t = pl.program_id(1)
     zero = m_ref[0, 0] * 0
-    _copy_f(fA, m_ref)
 
-    def step(t, _):
-        # res <- res^2 via Granger-Scott cyclotomic squaring (fA -> fB)
-        slots_in = [
-            (
-                [fA[2 * i, l] for l in range(NLIMBS)],
-                [fA[2 * i + 1, l] for l in range(NLIMBS)],
-            )
-            for i in range(6)
-        ]
-        sq_slots = K.k_cyc_sq(slots_in)
-        for i in range(6):
-            for l in range(NLIMBS):
-                fB[2 * i, l] = sq_slots[i][0][l]
-                fB[2 * i + 1, l] = sq_slots[i][1][l]
+    @pl.when(t == 0)
+    def _():
+        _copy_f(fA, m_ref)
 
-        # res <- res * (m or conj m) on nonzero digits (fB -> fA)
-        d = dig_ref[t]
-
-        @pl.when(d != 0)
-        def _():
-            def b_slot_get(jj, cc, l):
-                c = 2 * jj + cc
-                return jnp.where(d == 1, m_ref[c, l], mc_ref[c, l])
-
-            _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fB), b_slot_get,
-                      _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
-
-        @pl.when(d == 0)
-        def _():
-            _copy_f(fA, fB)
-
-        return 0
-
-    jax.lax.fori_loop(0, n_steps, step, 0)
-    for c in range(12):
+    # res <- res^2 via Granger-Scott cyclotomic squaring (fA -> fB):
+    # the ladder only ever runs on unit-norm elements.
+    slots_in = [
+        (
+            [fA[2 * i, l] for l in range(NLIMBS)],
+            [fA[2 * i + 1, l] for l in range(NLIMBS)],
+        )
+        for i in range(6)
+    ]
+    sq_slots = K.k_cyc_sq(slots_in)
+    for i in range(6):
         for l in range(NLIMBS):
-            out_ref[c, l] = fA[c, l]
+            fB[2 * i, l] = sq_slots[i][0][l]
+            fB[2 * i + 1, l] = sq_slots[i][1][l]
+
+    # res <- res * (m or conj m), only on nonzero digits (fB -> fA)
+    d = dig_ref[t]
+
+    @pl.when(d != 0)
+    def _():
+        def b_slot_get(jj, cc, l):
+            c = 2 * jj + cc
+            return jnp.where(d == 1, m_ref[c, l], mc_ref[c, l])
+
+        _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fB), b_slot_get,
+                  _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
+
+    @pl.when(d == 0)
+    def _():
+        _copy_f(fA, fB)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for c in range(12):
+            for l in range(NLIMBS):
+                out_ref[c, l] = fA[c, l]
 
 
 def pow_ladder_pallas(m_arr: jnp.ndarray, mc_arr: jnp.ndarray,
@@ -243,12 +243,12 @@ def pow_ladder_pallas(m_arr: jnp.ndarray, mc_arr: jnp.ndarray,
     n_steps = len(digits)
     nrows = m_arr.shape[2]
     assert nrows % 8 == 0
-    grid = (nrows // 8,)
+    grid = (nrows // 8, n_steps)
     dl, dr, _ = _seg_tables(DENSE)
 
     kern = partial(_pow_kernel, n_steps)
     fixed_block = pl.BlockSpec(
-        (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
+        (12, NLIMBS, 8, 128), lambda bt, t: (0, 0, bt, 0),
         memory_space=pltpu.VMEM,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
