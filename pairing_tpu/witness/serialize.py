@@ -1,0 +1,177 @@
+"""Serialized witness-trace format (npz) + loader.
+
+The reference's target side materializes an actual constraint system
+(`pairing_circuit`, pairing.rs:24-38); BASELINE config 4 replaces that
+with witness *traces* a downstream prover consumes. This module gives
+those traces a stable on-disk format; :mod:`pairing_tpu.witness.verify`
+is the independent replay-checker (the `Fq12Target::connect` analogue,
+final_exp_target.rs:142-147).
+
+Format: one ``.npz`` with a ``meta`` JSON entry and int32 limb arrays.
+
+Conventions
+-----------
+* Every field element is radix-``2^13``, 21-limb int32, **Montgomery
+  domain** (value = limbs · R^-1 mod p, R = 2^273), redundant (< 2p).
+  ``meta`` records all constants so a consumer needs no other source.
+* Fq2 values carry a trailing ``[2, L]`` (c0, c1); Fq12 values a trailing
+  ``[12, L]`` in the reference's ``MyFq12.coeffs`` order (coeffs[i] =
+  slot-i real part, coeffs[i+6] = slot-i u part; SURVEY.md §2.2).
+* ``B`` is the flattened batch; ``K`` the multi-pairing pairs axis.
+
+Entries
+-------
+  meta                 JSON: version, nlimbs, radix_bits, p, r_mont,
+                       domain, batch_shape, k, naf (65 signed digits),
+                       add_steps, bn_x
+  p_x, p_y             [K, B, L]       G1 inputs
+  q_x, q_y             [K, B, 2, L]    G2 inputs
+  r_affine_x/_y        [130, K, B, 2, L]  normalized trajectory: states
+                       0..63 loop-top, 64..127 post-double, 128 end,
+                       129 end+Q1 (miller_loop.py phase N stack order)
+  tg_lines             [64, K, B, 3, 2, L]  tangent coeffs (slots 0,3,4)
+  ch_lines             [n_adds, K, B, 3, 2, L] chord coeffs (slots 2,3,5),
+                       row j belongs to Miller step meta.add_steps[j]
+  ep_lines             [2, K, B, 3, 2, L]  epilogue chords (end,Q1),
+                       (end+Q1, -Q2)
+  q1_x/_y, nq2_x/_y    [K, B, 2, L]    twisted-Frobenius points
+  f_steps              [64, B, 12, L]  Miller accumulator after each step
+  miller_out           [B, 12, L]
+  easy_out             [B, 12, L]      easy-part output
+  exp_bits             [64]            BN_X bits, LSB first (shared)
+  exp_rows             [3, 64, B, 12, L]  x-power ladder rows (C12 shape)
+  exp_outs             [3, B, 12, L]   mx, mx2, mx3
+  final_out            [B, 12, L]      pairing result
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..curves.g1 import G1
+from ..curves.g2 import G2
+from ..fields import fp as F
+from ..fields.fp12 import Fq12
+from ..utils.bn254 import BN_X, P, SIX_U_PLUS_2_NAF
+from ..pairing.miller_loop import ADD_STEPS, N_STEPS
+
+FORMAT_VERSION = 1
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.int32)
+
+
+def _fp_arr(v) -> np.ndarray:
+    """Fp batch [...] -> [..., L] (limbs last already)."""
+    return _np(F._cap_2p(v).limbs)
+
+
+def _fp2_arr(v) -> np.ndarray:
+    """Fp2 batch [...] -> [..., 2, L]."""
+    return np.stack([_fp_arr(v.c0), _fp_arr(v.c1)], axis=-2)
+
+
+def _fq12_arr(a: Fq12) -> np.ndarray:
+    """Fq12 batch [...] -> [..., 12, L] in MyFq12.coeffs order."""
+    c0s = [_fp_arr(a.s[i].c0) for i in range(6)]
+    c1s = [_fp_arr(a.s[i].c1) for i in range(6)]
+    return np.stack(c0s + c1s, axis=-2)
+
+
+def _fq12_limbtree_arr(t) -> np.ndarray:
+    """_fq12_to_limbs pytree (6 x (c0, c1) arrays [..., L]) -> [..., 12, L]."""
+    c0s = [_np(t[i][0]) for i in range(6)]
+    c1s = [_np(t[i][1]) for i in range(6)]
+    return np.stack(c0s + c1s, axis=-2)
+
+
+def _lines_arr(line3) -> np.ndarray:
+    """3-tuple of Fp2 [..., ] -> [..., 3, 2, L]."""
+    return np.stack([_fp2_arr(c) for c in line3], axis=-3)
+
+
+def save_pairing_witness(path: str, p: G1, q: G2, out: Fq12,
+                         trace: Dict) -> None:
+    """Serialize a ``pairing_witness`` result (witness/trace.py) to npz.
+
+    ``p``/``q`` must carry the same [*batch] shape used for the witness
+    call; the trace's pairs axis K (=1 for single pairing) is preserved.
+    """
+    mt = trace["miller"]
+    ft = trace["final_exp"]
+    aff = mt["r_affine"]
+    K = aff.x.c0.limbs.shape[1]
+
+    # normalize p/q to carry the pairs axis ([K, *inner]) like the trace
+    has_k = q.x.c0.limbs.ndim == aff.x.c0.limbs.ndim - 1
+    px_a, py_a = _fp_arr(p.x), _fp_arr(p.y)
+    qx_a, qy_a = _fp2_arr(q.x), _fp2_arr(q.y)
+    if not has_k:
+        px_a, py_a, qx_a, qy_a = px_a[None], py_a[None], qx_a[None], qy_a[None]
+
+    def collapse(a: np.ndarray, lead: int, tail: int) -> np.ndarray:
+        """Flatten the batch dims between ``lead`` leading and ``tail``
+        trailing structural axes into one B axis."""
+        shape = a.shape
+        return a.reshape(shape[:lead] + (-1,) + shape[len(shape) - tail:])
+
+    entries = {
+        "p_x": collapse(px_a, 1, 1),
+        "p_y": collapse(py_a, 1, 1),
+        "q_x": collapse(qx_a, 1, 2),
+        "q_y": collapse(qy_a, 1, 2),
+        "r_affine_x": collapse(_fp2_arr(aff.x), 2, 2),
+        "r_affine_y": collapse(_fp2_arr(aff.y), 2, 2),
+        "tg_lines": collapse(_lines_arr(mt["tangent_lines"]), 2, 3),
+        "ch_lines": collapse(_lines_arr(mt["chord_lines"]), 2, 3),
+        "ep_lines": np.stack(
+            [
+                collapse(_lines_arr(mt["epilogue_lines"][0]), 1, 3),
+                collapse(_lines_arr(mt["epilogue_lines"][1]), 1, 3),
+            ]
+        ),
+        "q1_x": collapse(_fp2_arr(mt["q1"].x), 1, 2),
+        "q1_y": collapse(_fp2_arr(mt["q1"].y), 1, 2),
+        "nq2_x": collapse(_fp2_arr(mt["neg_q2"].x), 1, 2),
+        "nq2_y": collapse(_fp2_arr(mt["neg_q2"].y), 1, 2),
+        "f_steps": collapse(_fq12_limbtree_arr(mt["f_steps"]), 1, 2),
+        "miller_out": collapse(_fq12_arr(trace["miller_out"]), 0, 2),
+        "easy_out": collapse(_fq12_arr(ft["easy_part_out"]), 0, 2),
+        "exp_bits": _np(ft["exp_inputs"][0].exp_bits).reshape(-1, 64)[0],
+        "exp_rows": np.stack(
+            [collapse(_fq12_limbtree_arr(r), 1, 2) for r in ft["exp_trace_rows"]]
+        ),
+        "exp_outs": np.stack(
+            [collapse(_fq12_arr(x), 0, 2) for x in ft["exp_outputs"]]
+        ),
+        "final_out": collapse(_fq12_arr(out), 0, 2),
+    }
+    meta = {
+        "version": FORMAT_VERSION,
+        "nlimbs": F.NLIMBS,
+        "radix_bits": F.RADIX_BITS,
+        "p": str(P),
+        "r_mont": str(F.R_MONT),
+        "domain": "montgomery-redundant-2p",
+        "k": K,
+        "bn_x": str(BN_X),
+        "naf": list(SIX_U_PLUS_2_NAF),
+        "add_steps": list(ADD_STEPS),
+        "n_steps": N_STEPS,
+    }
+    np.savez_compressed(path, meta=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    ), **entries)
+
+
+def load_pairing_witness(path: str) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """Load an npz witness; returns (meta dict, entry dict)."""
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    assert meta["version"] == FORMAT_VERSION, "unknown witness format version"
+    data = {k: z[k] for k in z.files if k != "meta"}
+    return meta, data
