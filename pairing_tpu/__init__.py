@@ -20,6 +20,7 @@ from .curves.g1 import G1, g1_from_ints, g1_neg, g1_on_curve, g1_to_ints
 from .curves.g2 import (
     G2,
     g2_from_ints,
+    g2_in_subgroup,
     g2_neg,
     g2_on_curve,
     g2_to_ints,
@@ -31,7 +32,7 @@ from .fields.fp12 import (
     fq12_from_int_coeffs,
     fq12_to_int_coeffs,
 )
-from .pairing.api import multi_pairing, pairing
+from .pairing.api import multi_pairing, pairing, validate_inputs
 from .pairing.final_exp import final_exp
 from .pairing.miller_loop import miller_loop, multi_miller_loop
 
@@ -54,6 +55,8 @@ __all__ = [
     "g2_to_ints",
     "g2_neg",
     "g2_on_curve",
+    "g2_in_subgroup",
+    "validate_inputs",
     "twisted_frobenius",
     "neg_twisted_frobenius",
     "fq12_from_int_coeffs",

@@ -228,13 +228,6 @@ def _conv_onehot(ncols: int) -> np.ndarray:
     return oh
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def _mul_wide_raw(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
     """Schoolbook limb product, positions 0..ncols-1.
 

@@ -92,6 +92,31 @@ def fq12_to_int_coeffs(a: Fq12):
     return out
 
 
+def fq12_to_canonical_limbs(a: Fq12) -> jnp.ndarray:
+    """Device-side canonical export: int32 ``[*batch, 12, NLIMBS]``.
+
+    Row ``i`` (``i+6``) is the canonical (fully reduced, non-Montgomery)
+    13-bit limb vector of slot ``i``'s c0 (c1) — the same coefficient
+    order as :func:`fq12_to_int_coeffs`. All reduction happens on device,
+    so exporting a huge streamed run costs one bulk int32 fetch instead
+    of per-element Python bigint conversion.
+    """
+    comps = [F.canonical(F.from_mont(a.s[i].c0)).limbs for i in range(6)]
+    comps += [F.canonical(F.from_mont(a.s[i].c1)).limbs for i in range(6)]
+    return jnp.stack(comps, axis=-2)
+
+
+def fq12_limbs_to_int_coeffs(arr):
+    """Host helper: canonical limb array ``[*batch, 12, NLIMBS]`` (see
+    :func:`fq12_to_canonical_limbs`) -> list of 12-int coefficient lists."""
+    a = np.asarray(arr).astype(object)
+    weights = np.array(
+        [1 << (F.RADIX_BITS * i) for i in range(F.NLIMBS)], dtype=object
+    )
+    vals = (a * weights).sum(axis=-1)
+    return [list(row) for row in vals.reshape(-1, 12)]
+
+
 def fq12_from_sparse(slots: Dict[int, Fp2], batch_shape) -> Fq12:
     """Embed sparse Fq2 slots (e.g. a line function) into a full Fq12."""
     full = []

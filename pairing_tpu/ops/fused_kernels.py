@@ -70,51 +70,66 @@ def _ref_out(ref):
 # ---------------------------------------------------------------------------
 
 
-def _miller_kernel(n_pairs, n_steps,
+def _miller_kernel(n_pairs, n_steps, collect,
                    dl_ref, dr_ref, sl_ref, sr_ref, cl_ref, cr_ref, flag_ref,
-                   tg_ref, ch_ref, out_ref,
-                   fA, fB, fC, vocab, rvocab):
+                   tg_ref, ch_ref, *refs):
+    if collect:
+        out_ref, fs_ref, fA, fB, fC, vocab, rvocab = refs
+    else:
+        out_ref, fA, fB, fC, vocab, rvocab = refs
+        fs_ref = None
+    """Grid (batch_tile, step, pair): ONE shared f^2 per step for any K
+    (multi_miller_loop_BN_native's defining amortization,
+    miller_loop_native.rs:239), then this pair's tangent/chord sparse
+    multiplies. VMEM stays constant in K (per-pair line blocks stream).
+    Each (t, kc) invocation starts and ends with the state in fA.
+    """
     t = pl.program_id(1)
+    kc = pl.program_id(2)
     zero = tg_ref[0, 0, 0] * 0
 
-    @pl.when(t == 0)
+    @pl.when((t == 0) & (kc == 0))
     def _():
         _write_one(fA, zero)
 
-    # f <- f^2  (fA -> fB)
-    _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fA),
-              lambda jj, cc, l: fA[2 * jj + cc, l],
-              _ref_out(fB), _VocabRef(vocab), _VocabRef(rvocab), zero)
+    # kc == 0: f <- f^2 into fB; later pairs: carry fA into fB
+    @pl.when(kc == 0)
+    def _():
+        _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fA),
+                  lambda jj, cc, l: fA[2 * jj + cc, l],
+                  _ref_out(fB), _VocabRef(vocab), _VocabRef(rvocab), zero)
 
-    # tangent multiplies (one per pair), ping-pong fB <-> fA
-    cur, nxt = fB, fA
-    for k in range(n_pairs):
-        _mul_core(S034, sl_ref, sr_ref, _ref_get(cur),
-                  lambda jj, cc, l, k=k: tg_ref[0, 6 * k + 2 * jj + cc, l],
-                  _ref_out(nxt), _VocabRef(vocab), _VocabRef(rvocab), zero)
-        cur, nxt = nxt, cur
+    @pl.when(kc != 0)
+    def _():
+        _copy_f(fB, fA)
 
-    # keep the pre-chord value; chord multiplies only run on digit steps
-    # (38 of 64 steps skip them entirely)
-    _copy_f(fC, cur)
+    # this pair's tangent multiply (fB -> fC)
+    _mul_core(S034, sl_ref, sr_ref, _ref_get(fB),
+              lambda jj, cc, l: tg_ref[0, 2 * jj + cc, l],
+              _ref_out(fC), _VocabRef(vocab), _VocabRef(rvocab), zero)
+
+    # chord multiply only on digit steps (fC -> fA), else carry fC
     flag = flag_ref[t]
 
     @pl.when(flag == 1)
     def _():
-        c, n = cur, nxt
-        for k in range(n_pairs):
-            _mul_core(S235, cl_ref, cr_ref, _ref_get(c),
-                      lambda jj, cc, l, k=k: ch_ref[0, 6 * k + 2 * jj + cc, l],
-                      _ref_out(n), _VocabRef(vocab), _VocabRef(rvocab), zero)
-            c, n = n, c
+        _mul_core(S235, cl_ref, cr_ref, _ref_get(fC),
+                  lambda jj, cc, l: ch_ref[0, 2 * jj + cc, l],
+                  _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
 
-    for _ in range(n_pairs):
-        cur, nxt = nxt, cur  # mirror the buffer parity of the chord chain
-    for c in range(12):
-        for l in range(NLIMBS):
-            fA[c, l] = jnp.where(flag == 1, cur[c, l], fC[c, l])
+    @pl.when(flag == 0)
+    def _():
+        _copy_f(fA, fC)
 
-    @pl.when(t == n_steps - 1)
+    if collect:
+
+        @pl.when(kc == n_pairs - 1)
+        def _():
+            for c in range(12):
+                for l in range(NLIMBS):
+                    fs_ref[0, c, l] = fA[c, l]
+
+    @pl.when((t == n_steps - 1) & (kc == n_pairs - 1))
     def _():
         for c in range(12):
             for l in range(NLIMBS):
@@ -123,45 +138,64 @@ def _miller_kernel(n_pairs, n_steps,
 
 def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
                     flags: np.ndarray, n_pairs: int,
-                    interpret=None) -> jnp.ndarray:
-    """Run the 64-step f-accumulation.
+                    interpret=None, collect: bool = False):
+    """Run the 64-step multi-pair f-accumulation (any K >= 1).
 
     tg_arr/ch_arr: [steps, n_pairs*6, NLIMBS, R, 128] line stacks
-    (kernel layout); flags: int32 [steps] (1 = chord step).
-    Returns f in kernel layout [12, NLIMBS, R, 128].
+    (kernel layout, pair-major components); flags: int32 [steps]
+    (1 = chord step). Returns f in kernel layout [12, NLIMBS, R, 128];
+    with ``collect`` also the per-step accumulator stream
+    [steps, 12, NLIMBS, R, 128] (the witness path's f_steps,
+    miller_loop_target.rs:132-311) — production runs keep collect off to
+    skip the per-step HBM writeback.
     """
     if interpret is None:
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
     n_steps = tg_arr.shape[0]
+    assert tg_arr.shape[1] == n_pairs * 6
     nrows = tg_arr.shape[3]
     assert nrows % 8 == 0
-    grid = (nrows // 8, n_steps)
+    grid = (nrows // 8, n_steps, n_pairs)
 
     dl, dr, _ = _seg_tables(DENSE)
     sl, sr, _ = _seg_tables(S034)
     cl, cr, _ = _seg_tables(S235)
 
-    kern = partial(_miller_kernel, n_pairs, n_steps)
+    kern = partial(_miller_kernel, n_pairs, n_steps, collect)
     line_block = pl.BlockSpec(
-        (1, n_pairs * 6, NLIMBS, 8, 128),
-        lambda bt, t: (t, 0, 0, bt, 0),
+        (1, 6, NLIMBS, 8, 128),
+        lambda bt, t, kc: (t, kc, 0, bt, 0),
         memory_space=pltpu.VMEM,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    f_spec = pl.BlockSpec(
+        (12, NLIMBS, 8, 128), lambda bt, t, kc: (0, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((12, NLIMBS, nrows, 128), jnp.int32)
+    if collect:
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((n_steps, 12, NLIMBS, nrows, 128), jnp.int32),
+        )
+        out_specs = (
+            f_spec,
+            pl.BlockSpec(
+                (1, 12, NLIMBS, 8, 128), lambda bt, t, kc: (t, 0, 0, bt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+    else:
+        out_specs = f_spec
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (12, NLIMBS, nrows, 128), jnp.int32
-        ),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[smem(), smem(), smem(), smem(), smem(), smem(), smem(),
                   line_block, line_block],
-        out_specs=pl.BlockSpec(
-            (12, NLIMBS, 8, 128), lambda bt, t: (0, 0, bt, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),

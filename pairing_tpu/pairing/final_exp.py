@@ -94,6 +94,63 @@ def fq12_pow(a: Fq12, e: int) -> Fq12:
     return res
 
 
+def easy_part_k(a):
+    """Kernel-layout easy part: a -> a^((q^6-1)(q^2+1))
+    (final_exp_native.rs:195-206). KF12 in/out, fully kernel-resident."""
+    from ..ops import klayout as KL
+
+    f1 = KL.kconj(a)
+    f2 = KL.kmul(f1, KL.kinv(a))
+    f3 = KL.kfrob(f2, 2)
+    return KL.kmul(f3, f2)
+
+
+def hard_part_k(m):
+    """Kernel-layout halo2-lib addition chain (final_exp_native.rs:130-169).
+    KF12 in/out; every op is a Pallas kernel on the kernel layout — no
+    transposes between ops (the round-1 bottleneck)."""
+    from ..ops import klayout as KL
+
+    mul, conj, frob, csq = KL.kmul, KL.kconj, KL.kfrob, KL.kcyc_sq
+
+    mp = frob(m, 1)
+    mp2 = frob(m, 2)
+    mp3 = frob(m, 3)
+
+    y0 = mul(mp, mul(mp2, mp3))
+    y1 = conj(m)
+    mx = KL.kpow_x(m)
+    mxp = frob(mx, 1)
+    mx2 = KL.kpow_x(mx)
+    mx2p = frob(mx2, 1)
+    y2 = frob(mx2, 2)
+    y5 = conj(mx2)
+    mx3 = KL.kpow_x(mx2)
+    mx3p = frob(mx3, 1)
+
+    y3 = conj(mxp)
+    y4 = conj(mul(mx, mx2p))
+    y6 = conj(mul(mx3, mx3p))
+
+    t0 = mul(mul(csq(y6), y4), y5)
+    t1 = mul(y3, y5)
+    t1 = mul(t1, t0)
+    t0 = mul(y2, t0)
+    t1 = csq(t1)
+    t1 = mul(t1, t0)
+    t1 = csq(t1)
+    t0 = mul(t1, y1)
+    t1 = mul(t1, y0)
+    t0 = csq(t0)
+    t0 = mul(t0, t1)
+    return t0
+
+
+def final_exp_k(a):
+    """Kernel-layout final exponentiation (final_exp_native.rs:209-213)."""
+    return hard_part_k(easy_part_k(a))
+
+
 def easy_part(a: Fq12) -> Fq12:
     """a -> a^((q^6-1)(q^2+1)) (final_exp_native.rs:195-206)."""
     from ..ops import dispatch
@@ -154,4 +211,11 @@ def hard_part(m: Fq12) -> Fq12:
 
 def final_exp(a: Fq12) -> Fq12:
     """final_exp_native (final_exp_native.rs:209-213)."""
+    from ..ops import dispatch
+
+    if dispatch.use_pallas():
+        from ..ops.fq12_kernels import from_kernel_layout, to_kernel_layout
+
+        arr, bs, pad = to_kernel_layout(a)
+        return from_kernel_layout(final_exp_k(arr), bs, pad)
     return hard_part(easy_part(a))

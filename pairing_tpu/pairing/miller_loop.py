@@ -147,43 +147,56 @@ def _trajectory(q: G2):
     return tops, dbls, end
 
 
+def _comps_to_k(comps):
+    """List of n limb arrays [..., L] (one flat lane space) ->
+    ([n, L, R, 128], pad)."""
+    flat = jnp.stack([c.reshape(-1, F.NLIMBS) for c in comps])  # [n, B, L]
+    b = flat.shape[1]
+    pad = (-b) % 1024
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+    n = flat.shape[1]
+    return jnp.moveaxis(flat, -1, 1).reshape(len(comps), F.NLIMBS, n // 128, 128), pad
+
+
+def _k_to_comps(arr, lead, batch, pad):
+    """[*lead, n, L, R, 128] -> list of n limb arrays [*lead, *batch, L]."""
+    nrows = arr.shape[-2]
+    n_comp = arr.shape[len(lead)]
+    flat = jnp.moveaxis(
+        arr.reshape(lead + (n_comp, F.NLIMBS, nrows * 128)), -2, -1
+    )  # [*lead, n, B_pad, L]
+    if pad:
+        flat = flat[..., : nrows * 128 - pad, :]
+    full = flat.reshape(lead + (n_comp,) + batch + (F.NLIMBS,))
+    return [full[(slice(None),) * len(lead) + (i,)] for i in range(n_comp)]
+
+
+def _g2_to_traj_k(q: G2):
+    """Affine Q batch -> trajectory-kernel input [4, L, R, 128] + pad."""
+    return _comps_to_k(
+        [
+            F._cap_2p(q.x.c0).limbs,
+            F._cap_2p(q.x.c1).limbs,
+            F._cap_2p(q.y.c0).limbs,
+            F._cap_2p(q.y.c1).limbs,
+        ]
+    )
+
+
 def _trajectory_pallas(q: G2):
     """Phase B via the fq2_vm trajectory kernel; same output structure as
     :func:`_trajectory` (nested limb tuples, batch-last layout)."""
     from ..ops.curve_kernels import trajectory_pallas
 
     batch = q.batch_shape  # (K, *inner)
-    comps = [
-        F._cap_2p(q.x.c0).limbs,
-        F._cap_2p(q.x.c1).limbs,
-        F._cap_2p(q.y.c0).limbs,
-        F._cap_2p(q.y.c1).limbs,
-    ]
-    flat = jnp.stack([c.reshape(-1, F.NLIMBS) for c in comps])  # [4, B, L]
-    b = flat.shape[1]
-    pad = (-b) % 1024
-    if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
-    n = flat.shape[1]
-    q_arr = jnp.moveaxis(flat, -1, 1).reshape(4, F.NLIMBS, n // 128, 128)
-
+    q_arr, pad = _g2_to_traj_k(q)
     digits = np.asarray(STEP_DIGITS, np.int32)
     tops_k, dbls_k, end_k = trajectory_pallas(q_arr, digits)
 
-    def back(arr, lead):  # [*lead, 6, L, R, 128] -> nested limb tuples
-        nrows = arr.shape[-2]
-        flat = jnp.moveaxis(
-            arr.reshape(lead + (6, F.NLIMBS, nrows * 128)), -2, -1
-        )  # [*lead, 6, B_pad, L]
-        if pad:
-            flat = flat[..., : n - pad, :]
-        full = flat.reshape(lead + (6,) + batch + (F.NLIMBS,))
-        comps6 = [full[(slice(None),) * len(lead) + (i,)] for i in range(6)]
-        return (
-            (comps6[0], comps6[1]),
-            (comps6[2], comps6[3]),
-            (comps6[4], comps6[5]),
-        )
+    def back(arr, lead):
+        c6 = _k_to_comps(arr, lead, batch, pad)
+        return ((c6[0], c6[1]), (c6[2], c6[3]), (c6[4], c6[5]))
 
     tops = back(tops_k, (N_STEPS,))
     dbls = back(dbls_k, (N_STEPS,))
@@ -192,11 +205,137 @@ def _trajectory_pallas(q: G2):
 
 
 # ---------------------------------------------------------------------------
+# Fully kernel-resident Miller pipeline (Pallas backend)
+# ---------------------------------------------------------------------------
+
+
+def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
+    """Phases B→N→C→D + epilogue with every stage in kernel layout.
+
+    Dataflow (all [.., L, R, 128] int32; no batch-last round-trips):
+      trajectory kernel → z-stack concat → prefix/inverse kernels →
+      lines kernel (affine fold-in) → fused f kernel → epilogue sparse
+      muls. Only the single end/st91 states and the Fq2 total-inverse
+      make (tiny) XLA excursions. Returns Fq12, or (f_arr, inner, pad)
+      when ``keep_k``.
+    """
+    from ..fields.fp2 import Fp2 as _Fp2
+    from ..ops import klayout as KL
+    from ..ops.curve_kernels import trajectory_pallas
+    from ..ops.fq12_kernels import from_kernel_layout
+    from ..ops.fq2_vm import fp2s_to_vm, vm_to_fp2s
+    from ..ops.fused_kernels import miller_f_pallas
+    from ..ops.line_kernels import lines_pallas
+    from ..ops.norm_kernels import prefix_products_pallas, running_inverse_pallas
+
+    digits = np.asarray(STEP_DIGITS, np.int32)
+    kbatch = (K,) + inner
+
+    # Phase B: trajectory (kernel layout, lanes = K*inner).
+    q_arr, pad = _g2_to_traj_k(qs)
+    tops_k, dbls_k, end_k = trajectory_pallas(q_arr, digits)
+    nrows_kb = tops_k.shape[3]
+
+    # Epilogue points (miller_loop_native.rs:183-188) — single states, XLA.
+    q1 = twisted_frobenius(qs)
+    nq2 = neg_twisted_frobenius(q1)
+    e6 = _k_to_comps(end_k, (), kbatch, pad)
+    end = G2Jac(
+        Fp2(F.Fp(e6[0], 2 * F.P, F.SETTLED), F.Fp(e6[1], 2 * F.P, F.SETTLED)),
+        Fp2(F.Fp(e6[2], 2 * F.P, F.SETTLED), F.Fp(e6[3], 2 * F.P, F.SETTLED)),
+        Fp2(F.Fp(e6[4], 2 * F.P, F.SETTLED), F.Fp(e6[5], 2 * F.P, F.SETTLED)),
+    )
+    st91 = _jac_cap(jac_mixed_add(end, q1))
+    st91_k, _ = _comps_to_k(
+        [
+            st91.X.c0.limbs, st91.X.c1.limbs,
+            st91.Y.c0.limbs, st91.Y.c1.limbs,
+            st91.Z.c0.limbs, st91.Z.c1.limbs,
+        ]
+    )
+
+    # Phase N: z-stack [130, 2, L, R, 128] → prefix/total → zinv.
+    z_stack = jnp.concatenate(
+        [
+            tops_k[:, 4:6],
+            dbls_k[:, 4:6],
+            end_k[None, 4:6],
+            st91_k.reshape(3, 2, F.NLIMBS, nrows_kb, 128)[None, 2],
+        ],
+        axis=0,
+    )
+    prefix, total = prefix_products_pallas(z_stack)
+    (total_fp2,) = vm_to_fp2s(total[None], (nrows_kb * 128,), 0)
+    tinv = F2.cap(F2.inv(total_fp2))
+    tinv_arr, _, _ = fp2s_to_vm([tinv])
+    zinv = running_inverse_pallas(z_stack, prefix, tinv_arr[0])
+
+    # Phase C: lines kernel (affine conversion folded in).
+    px = F._cap_2p(ps.x)
+    py = F._cap_2p(ps.y)
+    pq_arr, _ = _comps_to_k(
+        [
+            px.limbs, py.limbs,
+            F._cap_2p(qs.x.c0).limbs, F._cap_2p(qs.x.c1).limbs,
+            F._cap_2p(qs.y.c0).limbs, F._cap_2p(qs.y.c1).limbs,
+        ]
+    )
+    tg_s, ch_s = lines_pallas(tops_k, dbls_k, zinv, pq_arr, digits)
+
+    # Separate the pairs axis from lanes into per-pair component groups.
+    r_in = nrows_kb // K
+
+    def split_k(x):
+        if K == 1:
+            return x
+        return jnp.moveaxis(
+            x.reshape(N_STEPS, 6, F.NLIMBS, K, r_in, 128), 3, 1
+        ).reshape(N_STEPS, K * 6, F.NLIMBS, r_in, 128)
+
+    flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
+    f_arr = miller_f_pallas(split_k(tg_s), split_k(ch_s), flags_np, K)
+
+    # Epilogue lines from the end/st91 affine states (XLA, 2 states).
+    zs = vm_to_fp2s(zinv[2 * N_STEPS : 2 * N_STEPS + 2], kbatch, pad)
+
+    def to_aff(jac: G2Jac, zi: Fp2) -> G2:
+        zi2 = F2.square(zi)
+        zi3 = F2.mul(zi2, zi)
+        return G2(F2.mul(jac.X, zi2), F2.mul(jac.Y, zi3))
+
+    aff_end = to_aff(end, zs[0])
+    aff_st91 = to_aff(st91, zs[1])
+    e1 = lines.line_unequal(aff_end.x, aff_end.y, q1.x, q1.y, px, py)
+    e2 = lines.line_unequal(aff_st91.x, aff_st91.y, nq2.x, nq2.y, px, py)
+
+    nrows_in = f_arr.shape[2]
+    inner_pad = nrows_in * 128 - int(np.prod(inner, dtype=np.int64))
+
+    def pick(v: Fp2, kk):
+        return _Fp2(
+            F.Fp(v.c0.limbs[kk], v.c0.bound, v.c0.limb_bound),
+            F.Fp(v.c1.limbs[kk], v.c1.bound, v.c1.limb_bound),
+        )
+
+    for k in range(K):
+        for line in (e1, e2):
+            lk = KL.sparse_to_k(
+                {2: pick(line[0], k), 3: pick(line[1], k), 5: pick(line[2], k)},
+                nrows_in,
+            )
+            f_arr = KL.kmul_sparse(f_arr, (2, 3, 5), lk)
+    if keep_k:
+        return f_arr, inner, inner_pad
+    return from_kernel_layout(f_arr, inner, inner_pad)
+
+
+# ---------------------------------------------------------------------------
 # Core Miller loop (pairs axis K leading)
 # ---------------------------------------------------------------------------
 
 
-def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
+def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
+                 keep_k: bool = False):
     """Multi-Miller product over a leading pairs axis K.
 
     qs, ps have batch shape [K, ...]; returns the Fq12 Miller value of the
@@ -204,15 +343,28 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
     ``collect_trace=True`` also returns the witness trace (per-step f,
     affine trajectory, line coefficients) — the batched analogue of the
     reference's circuit-side value flow (miller_loop_target.rs:132-311).
+
+    With ``keep_k=True`` (Pallas backend only) the result stays in the
+    kernel layout: returns ``(f_arr, inner, pad)`` so the caller can chain
+    final_exp_k without layout round-trips.
     """
     kshape = qs.batch_shape
     assert len(kshape) >= 1
     K = kshape[0]
     inner = kshape[1:]
 
+    from ..ops import dispatch
+
+    # Production path: every phase kernel-resident; the fused f-kernel
+    # streams per-pair line blocks so any K works with constant VMEM.
+    # K > 1 needs the per-pair lane split to be pad-free.
+    lanes = K * int(np.prod(inner, dtype=np.int64))
+    resident_ok = K == 1 or (lanes % 1024 == 0 and lanes // K % 128 == 0)
+    if dispatch.use_pallas() and not collect_trace and resident_ok:
+        return _miller_pallas_resident(qs, ps, K, inner, keep_k)
+
     # Phase B: trajectories for all pairs at once ([K, ...] batch) —
     # fused VM kernel on TPU, lax.scan elsewhere.
-    from ..ops import dispatch
 
     if dispatch.use_pallas():
         tops, dbls, end_l = _trajectory_pallas(qs)
@@ -290,13 +442,50 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False):
     from ..ops import dispatch
 
     flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
-    # The fused kernel streams n_pairs*6 line components per step; K <= 2
-    # fits VMEM comfortably — larger products fall back to the scan.
-    if dispatch.use_pallas() and not collect_trace and K <= 2:
-        f = _phase_d_pallas(tg, ch_full, flags_np, K, inner)
-        f_steps = None
+    # Fused-kernel path for batches the resident pipeline declined (ragged
+    # multi-pair lane splits) and for witness tracing (collect streams the
+    # per-step accumulator out of the same production kernel).
+    if dispatch.use_pallas():
+        from ..ops import klayout as KL
+        from ..ops.fq12_kernels import from_kernel_layout
+        from ..ops.fused_kernels import miller_f_pallas
+
+        arr, pad = _lines_to_kernel_layout(list(tg), K)
+        ch_arr, _ = _lines_to_kernel_layout(list(ch_full), K)
+
+        if collect_trace:
+            f_arr, fs_arr = miller_f_pallas(arr, ch_arr, flags_np, K,
+                                            collect=True)
+            c12 = _k_to_comps(fs_arr, (N_STEPS,), inner, pad)
+            f_steps = tuple((c12[2 * i], c12[2 * i + 1]) for i in range(6))
+            f = from_kernel_layout(f_arr, inner, pad)
+        else:
+            f_arr = miller_f_pallas(arr, ch_arr, flags_np, K)
+            # Epilogue multiplies in kernel layout
+            # (miller_loop_native.rs:274-280).
+            nrows = f_arr.shape[2]
+
+            def pick(v: Fp2, kk):
+                return Fp2(
+                    F.Fp(v.c0.limbs[kk], v.c0.bound, v.c0.limb_bound),
+                    F.Fp(v.c1.limbs[kk], v.c1.bound, v.c1.limb_bound),
+                )
+
+            for k in range(K):
+                for line in (e1, e2):
+                    lk = KL.sparse_to_k(
+                        {2: pick(line[0], k), 3: pick(line[1], k),
+                         5: pick(line[2], k)},
+                        nrows,
+                    )
+                    f_arr = KL.kmul_sparse(f_arr, (2, 3, 5), lk)
+            if keep_k:
+                return f_arr, inner, pad
+            return from_kernel_layout(f_arr, inner, pad)
     else:
-        f, f_steps = _phase_d_scan(tg, ch_full, flags_np, K, inner, collect_trace)
+        assert not keep_k, "keep_k requires the Pallas phase-D path"
+        f, f_steps = _phase_d_scan(tg, ch_full, flags_np, K, inner,
+                                   collect_trace)
 
     # Epilogue multiplies, per pair in order (miller_loop_native.rs:274-280).
     for k in range(K):
@@ -367,17 +556,6 @@ def _phase_d_scan(tg, ch_full, flags_np, K, inner, collect_trace):
     return _fq12_from_limbs(f_l), f_steps
 
 
-def _phase_d_pallas(tg, ch_full, flags_np, K, inner):
-    """Fused Miller f-accumulation via the Pallas kernel."""
-    from ..ops.fq12_kernels import from_kernel_layout
-    from ..ops.fused_kernels import miller_f_pallas
-
-    arr, pad = _lines_to_kernel_layout(list(tg), K)
-    ch_arr, _ = _lines_to_kernel_layout(list(ch_full), K)
-    out = miller_f_pallas(arr, ch_arr, flags_np, K)
-    return from_kernel_layout(out, inner, pad)
-
-
 def _lines_to_kernel_layout(line3, K):
     """3 x Fp2 [steps, K, *inner] -> [steps, K*6, NLIMBS, R, 128] + pad."""
     arrs = []
@@ -412,24 +590,18 @@ def miller_loop(q: G2, p: G1) -> Fq12:
     return _miller_core(_add_pairs_axis(q), _add_pairs_axis(p))
 
 
+def miller_loop_k(q: G2, p: G1):
+    """Kernel-layout Miller loop (Pallas backend): returns
+    ``(f_arr, batch_shape, pad)`` for chaining with final_exp_k."""
+    return _miller_core(_add_pairs_axis(q), _add_pairs_axis(p), keep_k=True)
+
+
 def multi_miller_loop(qs: G2, ps: G1) -> Fq12:
     """multi_miller_loop_native (miller_loop_native.rs:324-326): product of
     K pairings with shared squarings; leading axis of qs/ps is K.
 
-    On the pallas backend, K > 2 products are split into K<=2 groups whose
-    partial accumulators multiply together — value-identical because line
-    factors commute into f multiplicatively (SURVEY.md §3.4)."""
-    from ..ops import dispatch
-
-    K = qs.batch_shape[0]
-    if dispatch.use_pallas() and K > 2:
-        f = None
-        for start in range(0, K, 2):
-            sl = slice(start, min(start + 2, K))
-            part = _miller_core(
-                jax.tree.map(lambda a: a[sl], qs),
-                jax.tree.map(lambda a: a[sl], ps),
-            )
-            f = part if f is None else fq12_cap(dispatch.fq12_mul(f, part))
-        return f
+    The fused kernel streams per-pair line blocks over a (batch, step,
+    pair) grid, so ANY K shares the 63 squarings (the reference's
+    defining amortization, miller_loop_native.rs:239) with constant
+    VMEM."""
     return _miller_core(qs, ps)

@@ -121,6 +121,34 @@ def test_miller_f_kernel_short_vs_scan():
     got = F12.fq12_to_int_coeffs(from_kernel_layout(out, (1024,), 0))[0]
     assert got == expect
 
+    # collect mode: per-step accumulator stream (witness f_steps) must
+    # match the reference recurrence at every step
+    expect_steps = []
+    f = o.fq12_one()
+    for t in range(steps):
+        f = o.fq12_mul(f, f)
+        sparse_t = [None] * 6
+        for slot, v in zip((0, 3, 4), tg_int[t]):
+            sparse_t[slot] = v
+        f = o.sparse_fp12_multiply(f, sparse_t)
+        if flags[t]:
+            sparse_c = [None] * 6
+            for slot, v in zip((2, 3, 5), ch_int[t]):
+                sparse_c[slot] = v
+            f = o.sparse_fp12_multiply(f, sparse_c)
+        expect_steps.append(f)
+
+    @jax.jit
+    def run_collect(tg_arr, ch_arr):
+        return miller_f_pallas(tg_arr, ch_arr, flags, 1, interpret=True,
+                               collect=True)
+
+    out2, fs = run_collect(tg_arr, ch_arr)
+    assert F12.fq12_to_int_coeffs(from_kernel_layout(out2, (1024,), 0))[0] == expect
+    for t in range(steps):
+        got_t = F12.fq12_to_int_coeffs(from_kernel_layout(fs[t], (1024,), 0))[0]
+        assert got_t == expect_steps[t], f"f_steps[{t}] mismatch"
+
 
 @pytest.mark.skipif(
     jax.devices()[0].platform != "tpu", reason="full-length kernels need TPU"
