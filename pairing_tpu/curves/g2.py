@@ -204,6 +204,66 @@ def batch_to_affine(pts: G2Jac) -> G2:
 
 
 # ---------------------------------------------------------------------------
+# Subgroup membership (input validation)
+# ---------------------------------------------------------------------------
+
+
+def g2_in_subgroup(q: G2) -> jnp.ndarray:
+    """Exact r-torsion membership test: psi(Q) == [6x^2]Q, batched.
+
+    The untwist-Frobenius endomorphism psi (``twisted_frobenius``) acts on
+    G2 as multiplication by t-1 = 6x^2. Conversely any on-twist Q with
+    psi(Q) = [6x^2]Q satisfies [(6x^2)^2 - t(6x^2) + p]Q = [p+1-t]Q =
+    [#E(Fp)]Q = [r]Q = O (the BN G1 cofactor is 1), so the test accepts
+    exactly the r-torsion. The reference performs no such check
+    (miller_loop_native.rs trusts its inputs); this is the validation
+    surface SURVEY.md §5 calls for.
+
+    Preconditions: Q on the twist (``g2_on_curve``) and not infinity. For
+    small-order Q the [6x^2] ladder can degenerate (mixed-add collision
+    drives Z to 0); all such collapses are rejected by the Z != 0 term.
+    Returns bool [batch].
+    """
+    from ..utils.bn254 import BN_X, get_naf
+
+    naf = get_naf(6 * BN_X * BN_X)
+    assert naf[-1] == 1
+    digits = jnp.asarray(naf[-2::-1], jnp.int32)  # high-to-low, top consumed
+
+    nq = g2_neg(q)
+
+    def jcap(j: G2Jac) -> G2Jac:
+        return G2Jac(F2.cap(j.X), F2.cap(j.Y), F2.cap(j.Z))
+
+    def body(acc, d):
+        acc = jcap(jac_double(acc))
+        y_sel = F2.select(d > 0, q.y, nq.y)
+        added = jcap(jac_mixed_add(acc, G2(q.x, y_sel)))
+        return jac_select(d != 0, added, acc), None
+
+    acc0 = jcap(jac_double(jac_from_affine(q)))
+    d0 = digits[0]
+    acc0 = jac_select(
+        d0 != 0,
+        jcap(jac_mixed_add(acc0, G2(q.x, F2.select(d0 > 0, q.y, nq.y)))),
+        acc0,
+    )
+    acc, _ = jax.lax.scan(body, acc0, digits[1:])
+
+    psi = twisted_frobenius(q)
+    zz = F2.square(acc.Z)
+    zzz = F2.mul(zz, acc.Z)
+    z_nonzero = jnp.logical_not(
+        jnp.logical_and(F.fp_is_zero(acc.Z.c0), F.fp_is_zero(acc.Z.c1))
+    )
+    return (
+        F2.eq(acc.X, F2.mul(psi.x, zz))
+        & F2.eq(acc.Y, F2.mul(psi.y, zzz))
+        & z_nonzero
+    )
+
+
+# ---------------------------------------------------------------------------
 # Twisted Frobenius endomorphisms
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,7 @@ from ..utils.bn254 import (
     BN_X,
     BN_X_NAF,
     P,
+    R_SCALAR,
     SIX_U_PLUS_2_NAF,
     TWIST_C2,
     TWIST_C3,
@@ -300,7 +301,16 @@ def g1_neg(p: G1Point) -> G1Point:
     return (p[0], (-p[1]) % P)
 
 
-def g1_add(p: G1Point, q: G1Point) -> G1Point:
+def g1_add(p, q):
+    """Complete affine addition; ``None`` is the point at infinity
+    (arkworks complete-add semantics inherited at
+    miller_loop_native.rs:157)."""
+    if p is None:
+        return q
+    if q is None:
+        return p
+    if p[0] == q[0] and (p[1] + q[1]) % P == 0:
+        return None  # q == -p (covers doubling a 2-torsion point)
     if p == q:
         lam = (3 * p[0] * p[0] * pow(2 * p[1], P - 2, P)) % P
     else:
@@ -310,15 +320,14 @@ def g1_add(p: G1Point, q: G1Point) -> G1Point:
     return (x3, y3)
 
 
-def g1_mul(p: G1Point, k: int) -> G1Point:
-    result: Optional[G1Point] = None
+def g1_mul(p, k: int):
+    result = None
     addend = p
     while k > 0:
         if k & 1:
-            result = addend if result is None else g1_add(result, addend)
+            result = g1_add(result, addend)
         addend = g1_add(addend, addend)
         k >>= 1
-    assert result is not None
     return result
 
 
@@ -334,7 +343,14 @@ def g2_double(q: G2Point) -> G2Point:
     return (x3, y3)
 
 
-def g2_add(q1: G2Point, q2: G2Point) -> G2Point:
+def g2_add(q1, q2):
+    """Complete affine addition on the twist; ``None`` is infinity."""
+    if q1 is None:
+        return q2
+    if q2 is None:
+        return q1
+    if q1[0] == q2[0] and fq2_add(q1[1], q2[1]) == (0, 0):
+        return None
     if q1 == q2:
         return g2_double(q1)
     x1, y1 = q1
@@ -345,16 +361,69 @@ def g2_add(q1: G2Point, q2: G2Point) -> G2Point:
     return (x3, y3)
 
 
-def g2_mul(q: G2Point, k: int) -> G2Point:
-    result: Optional[G2Point] = None
+def g2_mul(q, k: int):
+    result = None
     addend = q
     while k > 0:
         if k & 1:
-            result = addend if result is None else g2_add(result, addend)
+            result = g2_add(result, addend)
         addend = g2_add(addend, addend)
         k >>= 1
-    assert result is not None
     return result
+
+
+def g2_in_subgroup(q) -> bool:
+    """Exact r-torsion membership test: [r]Q == O (complete adds make the
+    ladder total). ``None`` (infinity) is a member."""
+    if q is None:
+        return True
+    return g2_mul(q, R_SCALAR) is None
+
+
+# ---------------------------------------------------------------------------
+# Square roots (test-vector construction for validation suites)
+# ---------------------------------------------------------------------------
+
+
+def fp_sqrt(a: int):
+    """sqrt in Fp (p = 3 mod 4), or None if a is a non-residue."""
+    a %= P
+    r = pow(a, (P + 1) // 4, P)
+    return r if r * r % P == a else None
+
+
+def fq2_sqrt(a: Fq2Int):
+    """sqrt in Fq2 = Fp[u]/(u^2+1) via the norm method, or None."""
+    a0, a1 = a[0] % P, a[1] % P
+    if a1 == 0:
+        r = fp_sqrt(a0)
+        if r is not None:
+            return (r, 0)
+        r = fp_sqrt((-a0) % P)
+        return None if r is None else (0, r)  # (ru)^2 = -r^2 = a0
+    n = fp_sqrt((a0 * a0 + a1 * a1) % P)
+    if n is None:
+        return None
+    inv2 = pow(2, P - 2, P)
+    for nn in (n, (-n) % P):
+        x0 = fp_sqrt((a0 + nn) * inv2 % P)
+        if x0 in (None, 0):
+            continue
+        x1 = a1 * pow(2 * x0, P - 2, P) % P
+        if fq2_mul((x0, x1), (x0, x1)) == (a0, a1):
+            return (x0, x1)
+    return None
+
+
+def g2_point_from_x(x: Fq2Int):
+    """Some affine point on the twist with the given x, or None. Used to
+    build adversarial on-curve-but-non-subgroup vectors (a random twist
+    point lies in the r-torsion with probability ~1/h, h ~ p)."""
+    from ..utils.bn254 import TWIST_B
+
+    rhs = fq2_add(fq2_mul(fq2_mul(x, x), x), TWIST_B)
+    y = fq2_sqrt(rhs)
+    return None if y is None else (tuple(v % P for v in x), y)
 
 
 def twisted_frobenius(q: G2Point) -> G2Point:

@@ -74,7 +74,7 @@ def test_multi_miller_loop_bit_exact():
     # config 2 shape: product of K pairings, shared squarings
     K = 3
     g1s, g2s = rand_points(K)
-    ps = G1m.g1_from_ints([[pt] for pt in g1s] and g1s)  # [K]
+    ps = G1m.g1_from_ints(g1s)  # [K]
     qs = G2m.g2_from_ints(g2s)
     # add singleton inner batch axis: core expects [K, ...]
     f = jax.jit(miller_loop.multi_miller_loop)(qs, ps)

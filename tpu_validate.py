@@ -111,11 +111,96 @@ def main():
             o.multi_miller_loop(list(zip(g1s, g2s)))
         ]
 
+    def t_klayout_ops():
+        # kernel-layout-resident conj/frobenius/cyc-sq/inv vs the oracle
+        from pairing_tpu.ops import fq12_kernels as OK
+        from pairing_tpu.ops import klayout as KL
+
+        m_int = o.easy_part(o.miller_loop(g2p, g1p))  # cyclotomic
+        r_int = [RNG.randrange(1, c.P) for _ in range(12)]
+        a = F12.fq12_from_int_coeffs([m_int, r_int])
+        arr, bs, pad = OK.to_kernel_layout(a)
+
+        def run(arr):
+            return (
+                KL.kconj(arr),
+                KL.kfrob(arr, 1),
+                KL.kfrob(arr, 3),
+                KL.kcyc_sq(arr),
+                KL.kinv(arr),
+            )
+
+        dispatch.force_backend("pallas")
+        try:
+            outs = jax.jit(run)(arr)
+        finally:
+            dispatch.force_backend(None)
+        got = [
+            F12.fq12_to_int_coeffs(OK.from_kernel_layout(o_, bs, pad))
+            for o_ in outs
+        ]
+        for x, (gc, g1f, g3f, gcs, gi) in zip(
+            [m_int, r_int], zip(*got)
+        ):
+            assert gc == o.fq12_conj(x)
+            assert g1f == o.frobenius_map(x, 1)
+            assert g3f == o.frobenius_map(x, 3)
+            assert gi == o.fq12_inv(x)
+        # cyc-sq is only claimed on the cyclotomic subgroup
+        assert got[3][0] == o.fq12_mul(m_int, m_int)
+
+    def t_witness_kernel():
+        # witness path on the production fused kernel (collect mode): the
+        # full npz-exported trace must replay-verify against the int
+        # oracle, transition by transition
+        import tempfile
+
+        from pairing_tpu.witness import (
+            load_pairing_witness,
+            save_pairing_witness,
+            verify_pairing_witness,
+        )
+        from pairing_tpu.witness.trace import pairing_witness
+
+        p = G1m.g1_from_ints([g1p])
+        q = G2m.g2_from_ints([g2p])
+        dispatch.force_backend("pallas")
+        try:
+            out, trace = pairing_witness(p, q)
+        finally:
+            dispatch.force_backend(None)
+        assert F12.fq12_to_int_coeffs(out) == [o.pairing(g1p, g2p)]
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/w.npz"
+            save_pairing_witness(path, p, q, out, trace)
+            meta, data = load_pairing_witness(path)
+            counts = verify_pairing_witness(meta, data)  # raises on failure
+            assert counts
+
+    def t_subgroup_check():
+        bad = None
+        for x0 in range(1, 200):
+            cand = o.g2_point_from_x((x0, 1))
+            if cand is not None and not o.g2_in_subgroup(cand):
+                bad = cand
+                break
+        p = G1m.g1_from_ints([g1p, g1p])
+        q = G2m.g2_from_ints([g2p, bad])
+        dispatch.force_backend("pallas")
+        try:
+            mask = jax.jit(api.validate_inputs)(p, q)
+        finally:
+            dispatch.force_backend(None)
+        assert mask.tolist() == [True, False]
+
+    check("klayout conj/frob/cyc/inv", t_klayout_ops)
     check("fp_inv pallas ladder", t_fp_inv)
     check("pow_x pallas ladder", t_pow_ladder)
     check("full pairing pallas backend", t_pairing)
     check("repeat-run determinism", t_determinism)
     check("multi-miller K=4 group split", t_multi_k4)
+    check("witness trace on fused kernel", t_witness_kernel)
+    check("G2 subgroup validation", t_subgroup_check)
     print("ALL PASS", flush=True)
 
 
