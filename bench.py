@@ -26,8 +26,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--validate", type=int, default=2,
-                    help="check this many lanes vs the oracle")
+    ap.add_argument("--validate", type=int, default=-1,
+                    help="lanes to check vs the oracle (-1 = every unique lane)")
+    ap.add_argument("--unique", type=int, default=16,
+                    help="distinct input pairs (tiled to fill the batch)")
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace into this directory")
     args = ap.parse_args()
@@ -49,7 +51,7 @@ def main() -> None:
     print(f"# device: {dev}", file=sys.stderr)
 
     rng = random.Random(7)
-    n_unique = min(args.batch, 16)
+    n_unique = min(args.batch, args.unique)
     g1s = [o.g1_mul(c.G1_GEN, rng.randrange(1, c.R_SCALAR)) for _ in range(n_unique)]
     g2s = [
         o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), rng.randrange(1, c.R_SCALAR))
@@ -93,12 +95,18 @@ def main() -> None:
     pairings_per_sec = args.batch / best
     print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
 
-    if args.validate > 0:
+    if args.validate != 0:
+        # every unique input appears in the first n_unique lanes; checking
+        # them all (plus the tiled copies' bit-identity) covers the batch
+        nv = n_unique if args.validate < 0 else min(args.validate, args.batch)
         got = F12.fq12_to_int_coeffs(out)
-        for i in range(min(args.validate, args.batch)):
+        for i in range(nv):
             expect = o.pairing(g1s[i], g2s[i])
             assert got[i] == expect, f"lane {i} mismatch vs oracle"
-        print(f"# validated {args.validate} lanes vs oracle", file=sys.stderr)
+        for i in range(nv, args.batch):
+            assert got[i] == got[i % n_unique], f"tiled lane {i} mismatch"
+        print(f"# validated {nv} unique lanes (+{args.batch-nv} tiled) vs oracle",
+              file=sys.stderr)
 
     print(
         json.dumps(

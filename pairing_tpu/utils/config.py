@@ -16,13 +16,12 @@ from typing import Optional, Sequence, Tuple
 class PairingConfig:
     """Runtime configuration for batched pairing execution."""
 
-    #: lanes per kernel invocation (padded internally to multiples of 1024)
-    batch_size: int = 2048
     #: 'pallas' | 'xla' | None (auto: pallas on TPU)
     backend: Optional[str] = None
-    #: mesh shape for data parallelism, e.g. (8,) or (2, 4) for dcn x ici
+    #: mesh shape for data parallelism (runner shards each chunk's batch
+    #: axis over it), e.g. (8,) or (2, 4) for dcn x ici
     mesh_shape: Optional[Tuple[int, ...]] = None
-    #: mesh axis names matching mesh_shape
+    #: mesh axis names matching mesh_shape; the first axis carries the batch
     mesh_axes: Tuple[str, ...] = ("data",)
     #: chunk size for streaming huge batches through the device
     chunk_size: int = 8192

@@ -87,4 +87,11 @@ def test_pairing_stream_checkpoint(tmp_path):
     for a, b in zip(out1, out2):
         assert a.tolist() == b.tolist()
     # spot-check one value vs oracle
-    assert list(out1[0][1]) == o.pairing(g1s[1], g2s[1])
+    assert F12.fq12_limbs_to_int_coeffs(out1[0][1]) == [o.pairing(g1s[1], g2s[1])]
+    # resume against DIFFERENT inputs must refuse, not yield stale chunks
+    g1s_bad = list(g1s)
+    g1s_bad[0] = o.g1_mul((1, 2), 99)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        next(iter(pairing_stream(g1s_bad, g2s, cfg)))
