@@ -24,7 +24,7 @@ BASELINE_PER_CHIP = 100_000 / 8  # north-star v5p-16 target, per chip
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--validate", type=int, default=-1,
                     help="lanes to check vs the oracle (-1 = every unique lane)")
