@@ -137,6 +137,104 @@ def _mul_core(present: Tuple[int, ...], lhs_ref, rhs_ref, a_get, b_slot_get,
         out_set(seg, out)
 
 
+# ---------------------------------------------------------------------------
+# v2 cores: unordered-pair + Fq2-Karatsuba decomposition
+# ---------------------------------------------------------------------------
+#
+# The schoolbook segment core above costs 4 wide muls per Fq2 slot product
+# (144 for dense, 72 for 3-slot sparse). The v2 cores cut the wide-mul
+# count with two standard identities, made int32-safe by the KW signed
+# accumulator layer (ops/kwide):
+#
+#   * Fq2 Karatsuba:            slot product = 3 wide muls
+#   * unordered pairs (dense):  Ai*Bj + Aj*Bi = (Ai+Aj)(Bi+Bj) - Di - Dj
+#     with the 6 diagonals Di shared across all 15 pairs
+#
+# Counts: dense square 42 muls (21 Fq2 squarings x 2), dense mul 63
+# (21 Fq2 Karatsubas), 3-slot sparse 54 (18 x 3) — vs 144/144/72.
+# Algorithm parity: same coefficient-basis product as fields.fp12
+# (MyFq12, SURVEY.md §2.2); only the mul tree is reassociated, so results
+# stay bit-exact after canonicalization (identical residues mod p).
+
+from . import kwide as W
+
+# unordered slot pairs {i,j}, i<j, grouped by output slot (i+j) mod 6
+_PAIRS = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+
+
+def _k2_read(get, i: int, bound: int = 2 * P) -> W.K2:
+    return W.K2(
+        [get(2 * i, l) for l in range(NLIMBS)],
+        [get(2 * i + 1, l) for l in range(NLIMBS)],
+        bound,
+    )
+
+
+def _acc_add(acc, s: int, hi: bool, term):
+    if hi:
+        term = W.kw2_xi(term)
+    acc[s] = term if acc[s] is None else W.kw2_add(acc[s], term)
+
+
+def _acc_flush(acc, out_set):
+    for s in range(6):
+        c0, c1 = W.kw2_finalize(acc[s])
+        out_set(2 * s, c0)
+        out_set(2 * s + 1, c1)
+
+
+def _sq_core_v2(a_get, out_set):
+    """Dense Fq12 square: 42 wide muls."""
+    A = [_k2_read(a_get, i) for i in range(6)]
+    D = [W.k2w_sq(A[i]) for i in range(6)]
+    acc = [None] * 6
+    for i in range(6):
+        _acc_add(acc, (2 * i) % 6, 2 * i >= 6, D[i])
+    for i, j in _PAIRS:
+        Pij = W.k2w_sq(W.k2_sum(A[i], A[j]))
+        cross = W.kw2_sub(W.kw2_sub(Pij, D[i]), D[j])
+        _acc_add(acc, (i + j) % 6, i + j >= 6, cross)
+    _acc_flush(acc, out_set)
+
+
+def _mul_core_v2(a_get, b_get, out_set):
+    """Dense Fq12 product: 63 wide muls."""
+    A = [_k2_read(a_get, i) for i in range(6)]
+    B = [_k2_read(b_get, i) for i in range(6)]
+    D = [W.k2w_mul(A[i], B[i]) for i in range(6)]
+    acc = [None] * 6
+    for i in range(6):
+        _acc_add(acc, (2 * i) % 6, 2 * i >= 6, D[i])
+    for i, j in _PAIRS:
+        Pij = W.k2w_mul(W.k2_sum(A[i], A[j]), W.k2_sum(B[i], B[j]))
+        cross = W.kw2_sub(W.kw2_sub(Pij, D[i]), D[j])
+        _acc_add(acc, (i + j) % 6, i + j >= 6, cross)
+    _acc_flush(acc, out_set)
+
+
+def _sparse_core_v2(present: Tuple[int, ...], a_get, b_slot_get, out_set):
+    """Sparse product (|present| line slots): 3 wide muls per slot pair.
+
+    The unordered-pair sharing doesn't apply across different operand
+    vectors with disjoint support, so each (i, j) product is a plain Fq2
+    Karatsuba (054/235 line shapes: 54 muls vs 72)."""
+    A = [_k2_read(a_get, i) for i in range(6)]
+    B = [
+        W.K2(
+            [b_slot_get(jj, 0, l) for l in range(NLIMBS)],
+            [b_slot_get(jj, 1, l) for l in range(NLIMBS)],
+            2 * P,
+        )
+        for jj in range(len(present))
+    ]
+    acc = [None] * 6
+    for i in range(6):
+        for jj, j in enumerate(present):
+            term = W.k2w_mul(A[i], B[jj])
+            _acc_add(acc, (i + j) % 6, i + j >= 6, term)
+    _acc_flush(acc, out_set)
+
+
 class _VocabRef:
     """Thin indexing adapter: vocab[row, limb] -> [8, 128] tile."""
 
@@ -173,42 +271,65 @@ def _mul_kernel_wrapped(present, lhs_ref, rhs_ref, a_ref, b_ref, out_ref,
     )
 
 
+def _mul_kernel_v2(present, a_ref, b_ref, out_ref):
+    def out_set(seg, limbs):
+        for l in range(NLIMBS):
+            out_ref[seg, l] = limbs[l]
+
+    if len(present) == 6:
+        _mul_core_v2(
+            lambda c, l: a_ref[c, l], lambda c, l: b_ref[c, l], out_set
+        )
+    else:
+        _sparse_core_v2(
+            present,
+            lambda c, l: a_ref[c, l],
+            lambda jj, cc, l: b_ref[2 * present[jj] + cc, l],
+            out_set,
+        )
+
+
+def _sq_kernel_v2(a_ref, out_ref):
+    def out_set(seg, limbs):
+        for l in range(NLIMBS):
+            out_ref[seg, l] = limbs[l]
+
+    _sq_core_v2(lambda c, l: a_ref[c, l], out_set)
+
+
+_F12_BLOCK = pl.BlockSpec(
+    (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0), memory_space=pltpu.VMEM
+)
+
+
 def _pallas_mul(present: Tuple[int, ...], a_arr: jnp.ndarray,
                 b_arr: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """a_arr [12, L, R, 128] x b_arr [2*npres?, ...] -> [12, L, R, 128]."""
-    lhs_tbl, rhs_tbl, _ = _seg_tables(present)
+    """a_arr [12, L, R, 128] x b_arr [12, ...] -> [12, L, R, 128]."""
     nrows = a_arr.shape[2]
     assert nrows % 8 == 0
-    grid = (nrows // 8,)
-
-    kern = partial(_mul_kernel_wrapped, present)
-
     out = pl.pallas_call(
-        kern,
+        partial(_mul_kernel_v2, present),
         out_shape=jax.ShapeDtypeStruct(a_arr.shape, jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((24, NLIMBS, 8, 128), jnp.int32),
-            pltpu.VMEM((3 * len(present), NLIMBS, 8, 128), jnp.int32),
-        ],
+        grid=(nrows // 8,),
+        in_specs=[_F12_BLOCK, _F12_BLOCK],
+        out_specs=_F12_BLOCK,
         interpret=interpret,
-    )(jnp.asarray(lhs_tbl), jnp.asarray(rhs_tbl), a_arr, b_arr)
+    )(a_arr, b_arr)
+    return out
+
+
+def _pallas_sq(a_arr: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Dense Fq12 square kernel (42 wide muls), KF12 -> KF12."""
+    nrows = a_arr.shape[2]
+    assert nrows % 8 == 0
+    out = pl.pallas_call(
+        _sq_kernel_v2,
+        out_shape=jax.ShapeDtypeStruct(a_arr.shape, jnp.int32),
+        grid=(nrows // 8,),
+        in_specs=[_F12_BLOCK],
+        out_specs=_F12_BLOCK,
+        interpret=interpret,
+    )(a_arr)
     return out
 
 

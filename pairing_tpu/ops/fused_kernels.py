@@ -26,10 +26,9 @@ from ..fields.fp import NLIMBS, R_MOD_P, SETTLED, _const_limbs
 from ..utils.bn254 import BN_X_NAF
 from . import kernel_core as K
 from .fq12_kernels import (
-    LANES,
-    _mul_core,
-    _seg_tables,
-    _VocabRef,
+    _mul_core_v2,
+    _sparse_core_v2,
+    _sq_core_v2,
 )
 
 DENSE = tuple(range(6))
@@ -70,13 +69,12 @@ def _ref_out(ref):
 # ---------------------------------------------------------------------------
 
 
-def _miller_kernel(n_pairs, n_steps, collect,
-                   dl_ref, dr_ref, sl_ref, sr_ref, cl_ref, cr_ref, flag_ref,
+def _miller_kernel(n_pairs, n_steps, collect, flag_ref,
                    tg_ref, ch_ref, *refs):
     if collect:
-        out_ref, fs_ref, fA, fB, fC, vocab, rvocab = refs
+        out_ref, fs_ref, fA, fB, fC = refs
     else:
-        out_ref, fA, fB, fC, vocab, rvocab = refs
+        out_ref, fA, fB, fC = refs
         fs_ref = None
     """Grid (batch_tile, step, pair): ONE shared f^2 per step for any K
     (multi_miller_loop_BN_native's defining amortization,
@@ -95,27 +93,25 @@ def _miller_kernel(n_pairs, n_steps, collect,
     # kc == 0: f <- f^2 into fB; later pairs: carry fA into fB
     @pl.when(kc == 0)
     def _():
-        _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fA),
-                  lambda jj, cc, l: fA[2 * jj + cc, l],
-                  _ref_out(fB), _VocabRef(vocab), _VocabRef(rvocab), zero)
+        _sq_core_v2(_ref_get(fA), _ref_out(fB))
 
     @pl.when(kc != 0)
     def _():
         _copy_f(fB, fA)
 
     # this pair's tangent multiply (fB -> fC)
-    _mul_core(S034, sl_ref, sr_ref, _ref_get(fB),
-              lambda jj, cc, l: tg_ref[0, 2 * jj + cc, l],
-              _ref_out(fC), _VocabRef(vocab), _VocabRef(rvocab), zero)
+    _sparse_core_v2(S034, _ref_get(fB),
+                    lambda jj, cc, l: tg_ref[0, 2 * jj + cc, l],
+                    _ref_out(fC))
 
     # chord multiply only on digit steps (fC -> fA), else carry fC
     flag = flag_ref[t]
 
     @pl.when(flag == 1)
     def _():
-        _mul_core(S235, cl_ref, cr_ref, _ref_get(fC),
-                  lambda jj, cc, l: ch_ref[0, 2 * jj + cc, l],
-                  _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
+        _sparse_core_v2(S235, _ref_get(fC),
+                        lambda jj, cc, l: ch_ref[0, 2 * jj + cc, l],
+                        _ref_out(fA))
 
     @pl.when(flag == 0)
     def _():
@@ -149,19 +145,27 @@ def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
     miller_loop_target.rs:132-311) — production runs keep collect off to
     skip the per-step HBM writeback.
     """
+    from .jit_cache import cached_jit
+
     if interpret is None:
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
+    key = ("miller_f", tuple(int(x) for x in flags), n_pairs, bool(interpret),
+           bool(collect))
+    return cached_jit(
+        key,
+        lambda: lambda tg, ch: _miller_f_impl(tg, ch, flags, n_pairs,
+                                              interpret, collect),
+    )(tg_arr, ch_arr)
+
+
+def _miller_f_impl(tg_arr, ch_arr, flags, n_pairs, interpret, collect):
     n_steps = tg_arr.shape[0]
     assert tg_arr.shape[1] == n_pairs * 6
     nrows = tg_arr.shape[3]
     assert nrows % 8 == 0
     grid = (nrows // 8, n_steps, n_pairs)
-
-    dl, dr, _ = _seg_tables(DENSE)
-    sl, sr, _ = _seg_tables(S034)
-    cl, cr, _ = _seg_tables(S235)
 
     kern = partial(_miller_kernel, n_pairs, n_steps, collect)
     line_block = pl.BlockSpec(
@@ -193,22 +197,15 @@ def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
         kern,
         out_shape=out_shape,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-                  line_block, line_block],
+        in_specs=[smem(), line_block, line_block],
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
-            pltpu.VMEM((24, NLIMBS, 8, 128), jnp.int32),
-            pltpu.VMEM((18, NLIMBS, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        jnp.asarray(dl), jnp.asarray(dr), jnp.asarray(sl), jnp.asarray(sr),
-        jnp.asarray(cl), jnp.asarray(cr), jnp.asarray(flags, jnp.int32),
-        tg_arr, ch_arr,
-    )
+    )(jnp.asarray(flags, jnp.int32), tg_arr, ch_arr)
     return out
 
 
@@ -217,10 +214,8 @@ def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _pow_kernel(n_steps, dig_ref, dl_ref, dr_ref, m_ref, mc_ref, out_ref,
-                fA, fB, vocab, rvocab):
+def _pow_kernel(n_steps, dig_ref, m_ref, mc_ref, out_ref, fA, fB):
     t = pl.program_id(1)
-    zero = m_ref[0, 0] * 0
 
     @pl.when(t == 0)
     def _():
@@ -246,12 +241,10 @@ def _pow_kernel(n_steps, dig_ref, dl_ref, dr_ref, m_ref, mc_ref, out_ref,
 
     @pl.when(d != 0)
     def _():
-        def b_slot_get(jj, cc, l):
-            c = 2 * jj + cc
+        def b_get(c, l):
             return jnp.where(d == 1, m_ref[c, l], mc_ref[c, l])
 
-        _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fB), b_slot_get,
-                  _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
+        _mul_core_v2(_ref_get(fB), b_get, _ref_out(fA))
 
     @pl.when(d == 0)
     def _():
@@ -270,15 +263,24 @@ def pow_ladder_pallas(m_arr: jnp.ndarray, mc_arr: jnp.ndarray,
     """res = m^e where e is encoded by ``digits`` (MSB-first NAF tail: the
     ladder starts at m, then per digit: square and multiply by
     {m, conj(m), 1}). Kernel layout in/out [12, NLIMBS, R, 128]."""
+    from .jit_cache import cached_jit
+
     if interpret is None:
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
+    key = ("pow_ladder", tuple(int(x) for x in digits), bool(interpret))
+    return cached_jit(
+        key,
+        lambda: lambda m, mc: _pow_ladder_impl(m, mc, digits, interpret),
+    )(m_arr, mc_arr)
+
+
+def _pow_ladder_impl(m_arr, mc_arr, digits, interpret):
     n_steps = len(digits)
     nrows = m_arr.shape[2]
     assert nrows % 8 == 0
     grid = (nrows // 8, n_steps)
-    dl, dr, _ = _seg_tables(DENSE)
 
     kern = partial(_pow_kernel, n_steps)
     fixed_block = pl.BlockSpec(
@@ -290,19 +292,14 @@ def pow_ladder_pallas(m_arr: jnp.ndarray, mc_arr: jnp.ndarray,
         kern,
         out_shape=jax.ShapeDtypeStruct(m_arr.shape, jnp.int32),
         grid=grid,
-        in_specs=[smem(), smem(), smem(), fixed_block, fixed_block],
+        in_specs=[smem(), fixed_block, fixed_block],
         out_specs=fixed_block,
         scratch_shapes=[
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
-            pltpu.VMEM((24, NLIMBS, 8, 128), jnp.int32),
-            pltpu.VMEM((18, NLIMBS, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        jnp.asarray(np.asarray(digits, np.int32)), jnp.asarray(dl),
-        jnp.asarray(dr), m_arr, mc_arr,
-    )
+    )(jnp.asarray(np.asarray(digits, np.int32)), m_arr, mc_arr)
     return out
 
 

@@ -46,6 +46,7 @@ from .fq12_kernels import (
     on_tpu,
     to_kernel_layout,
 )
+from .jit_cache import cached_jit
 
 DENSE = tuple(range(6))
 
@@ -61,11 +62,20 @@ def _interp(interpret):
 
 def kmul(a: jnp.ndarray, b: jnp.ndarray, interpret=None) -> jnp.ndarray:
     """Dense Fq12 product, KF12 x KF12 -> KF12."""
-    return _pallas_mul(DENSE, a, b, _interp(interpret))
+    itp = _interp(interpret)
+    return cached_jit(
+        ("kmul", itp), lambda: lambda a, b: _pallas_mul(DENSE, a, b, itp)
+    )(a, b)
 
 
 def ksq(a: jnp.ndarray, interpret=None) -> jnp.ndarray:
-    return kmul(a, a, interpret)
+    """Dense Fq12 square via the specialized 42-wide-mul kernel."""
+    from .fq12_kernels import _pallas_sq
+
+    itp = _interp(interpret)
+    return cached_jit(
+        ("ksq", itp), lambda: lambda a: _pallas_sq(a, itp)
+    )(a)
 
 
 def kmul_sparse(
@@ -73,7 +83,12 @@ def kmul_sparse(
 ) -> jnp.ndarray:
     """Sparse product; ``b`` is KF12 whose non-``present`` rows are ignored
     (sparse_fp12_multiply parity, miller_loop_native.rs:46-96)."""
-    return _pallas_mul(tuple(sorted(present)), a, b, _interp(interpret))
+    pres = tuple(sorted(present))
+    itp = _interp(interpret)
+    return cached_jit(
+        ("kmul_sparse", pres, itp),
+        lambda: lambda a, b: _pallas_mul(pres, a, b, itp),
+    )(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -96,9 +111,7 @@ def _cyc_kernel(x_ref, out_ref):
             out_ref[2 * i + 1, l] = sq[i][1][l]
 
 
-def kcyc_sq(a: jnp.ndarray, interpret=None) -> jnp.ndarray:
-    """Granger-Scott squaring (fields.fp12.fq12_cyclotomic_sq parity);
-    valid on the cyclotomic subgroup only."""
+def _kcyc_sq_impl(a: jnp.ndarray, itp: bool) -> jnp.ndarray:
     nrows = a.shape[2]
     assert nrows % 8 == 0
     blk = pl.BlockSpec(
@@ -110,7 +123,16 @@ def kcyc_sq(a: jnp.ndarray, interpret=None) -> jnp.ndarray:
         grid=(nrows // 8,),
         in_specs=[blk],
         out_specs=blk,
-        interpret=_interp(interpret),
+        interpret=itp,
+    )(a)
+
+
+def kcyc_sq(a: jnp.ndarray, interpret=None) -> jnp.ndarray:
+    """Granger-Scott squaring (fields.fp12.fq12_cyclotomic_sq parity);
+    valid on the cyclotomic subgroup only."""
+    itp = _interp(interpret)
+    return cached_jit(
+        ("kcyc_sq", itp), lambda: lambda a: _kcyc_sq_impl(a, itp)
     )(a)
 
 
@@ -187,11 +209,18 @@ def _slotwise(a: jnp.ndarray, prog, interpret) -> jnp.ndarray:
 
 def kconj(a: jnp.ndarray, interpret=None) -> jnp.ndarray:
     """conjugate_fp12; the inverse on the cyclotomic subgroup."""
-    return _slotwise(a, _conj_prog(), interpret)
+    itp = _interp(interpret)
+    return cached_jit(
+        ("kconj", itp), lambda: lambda a: _slotwise(a, _conj_prog(), itp)
+    )(a)
 
 
 def kfrob(a: jnp.ndarray, power: int, interpret=None) -> jnp.ndarray:
-    return _slotwise(a, _frob_prog(power % 12), interpret)
+    pw = power % 12
+    itp = _interp(interpret)
+    return cached_jit(
+        ("kfrob", pw, itp), lambda: lambda a: _slotwise(a, _frob_prog(pw), itp)
+    )(a)
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +235,10 @@ def kinv(a: jnp.ndarray) -> jnp.ndarray:
     the single Fq2 norm makes a (tiny) XLA round-trip for the Fermat
     ladder inside F2.inv.
     """
+    return cached_jit(("kinv",), lambda: _kinv_impl)(a)
+
+
+def _kinv_impl(a: jnp.ndarray) -> jnp.ndarray:
     from ..fields import fp2 as F2
     from .inv_kernels import _part1, _part2
     from .fq2_vm import vm_apply, vm_to_fp2s, fp2s_to_vm
@@ -232,10 +265,16 @@ def kinv(a: jnp.ndarray) -> jnp.ndarray:
 
 def kpow_x(m: jnp.ndarray) -> jnp.ndarray:
     """m^BN_X on the cyclotomic subgroup (the batched analogue of the
-    reference's STARK exp offload; final_exp_native.rs:56-84)."""
+    reference's STARK exp offload; final_exp_native.rs:56-84).
+
+    Called 3x per final exp — the cached jit traces the 62-step ladder
+    body once per process."""
     from .fused_kernels import BN_X_LADDER_DIGITS, pow_ladder_pallas
 
-    return pow_ladder_pallas(m, kconj(m), BN_X_LADDER_DIGITS)
+    return cached_jit(
+        ("kpow_x",),
+        lambda: lambda m: pow_ladder_pallas(m, kconj(m), BN_X_LADDER_DIGITS),
+    )(m)
 
 
 # ---------------------------------------------------------------------------

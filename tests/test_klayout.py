@@ -72,6 +72,7 @@ def test_kcyc_sq():
     assert got == [o.fq12_mul(x, x) for x in xs]
 
 
+@slow
 def test_sparse_to_k_and_mul():
     # kmul/_pallas_mul itself is covered by test_pallas_kernels; this
     # exercises the new sparse_to_k bridge + kmul_sparse entry.
