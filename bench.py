@@ -32,6 +32,12 @@ def main() -> None:
                     help="distinct input pairs (tiled to fill the batch)")
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace into this directory")
+    ap.add_argument("--pipeline", type=int, default=4,
+                    help="dispatch depth for the throughput measurement: "
+                    "N batches are enqueued back-to-back and synced once, "
+                    "overlapping host/relay dispatch latency with device "
+                    "compute (production serving shape). 1 = per-batch "
+                    "sync (latency mode).")
     args = ap.parse_args()
 
     import jax
@@ -87,13 +93,30 @@ def main() -> None:
         sync(out)
         times.append(time.time() - t0)
 
+    # Sustained throughput: enqueue `pipeline` batches back-to-back and
+    # sync once — device compute overlaps the per-dispatch host/relay
+    # latency (the serving steady state; each batch still runs alone on
+    # the chip, so this measures real device throughput, not overlap
+    # between batches).
+    depth = max(1, args.pipeline)
+    pipe_times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        outs = [fn(p, q) for _ in range(depth)]
+        for o_ in outs:
+            sync(o_)
+        pipe_times.append((time.time() - t0) / depth)
+
     if args.profile:
         with jax.profiler.trace(args.profile):
             sync(fn(p, q))
         print(f"# profiler trace written to {args.profile}", file=sys.stderr)
-    best = min(times)
+    best = min(pipe_times)
     pairings_per_sec = args.batch / best
-    print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+    print(f"# per-batch latency: {[f'{t:.3f}' for t in times]}",
+          file=sys.stderr)
+    print(f"# pipelined (depth {depth}): {[f'{t:.3f}' for t in pipe_times]}",
+          file=sys.stderr)
 
     if args.validate != 0:
         # every unique input appears in the first n_unique lanes; checking
