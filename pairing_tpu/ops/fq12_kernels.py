@@ -45,99 +45,6 @@ def on_tpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Term tables (segment-major)
-# ---------------------------------------------------------------------------
-
-
-@lru_cache(maxsize=None)
-def _seg_tables(present: Tuple[int, ...]):
-    """Per-output-component term lists, segment-major.
-
-    Returns (lhs, rhs, offsets): lhs/rhs int32 arrays of all terms sorted
-    by segment, offsets[13] prefix (segment s owns terms
-    offsets[s]:offsets[s+1]). LHS rows: 4*i + {0: c0, 1: c1, 2: xi.c0,
-    3: xi.c1}; RHS rows: 3*jj + {0: c0, 1: c1, 2: -c1}.
-    """
-    per_seg = [[] for _ in range(12)]
-    for i in range(6):
-        for jj, j in enumerate(present):
-            k = i + j
-            hi = k >= 6
-            slot = k - 6 if hi else k
-            base = 4 * i + (2 if hi else 0)
-            per_seg[2 * slot + 0] += [(base + 0, 3 * jj + 0), (base + 1, 3 * jj + 2)]
-            per_seg[2 * slot + 1] += [(base + 0, 3 * jj + 1), (base + 1, 3 * jj + 0)]
-    lhs, rhs, offsets = [], [], [0]
-    for s in range(12):
-        for l, r in per_seg[s]:
-            lhs.append(l)
-            rhs.append(r)
-        offsets.append(len(lhs))
-    return (
-        np.asarray(lhs, np.int32),
-        np.asarray(rhs, np.int32),
-        tuple(offsets),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Kernel body
-# ---------------------------------------------------------------------------
-
-
-def _mul_core(present: Tuple[int, ...], lhs_ref, rhs_ref, a_get, b_slot_get,
-              out_set, vocab, rvocab, zero_tile):
-    """Shared in-kernel Fq12 product.
-
-    a_get(comp, limb) -> tile        (comp = 2*slot + {c0, c1})
-    b_slot_get(jj, comp, limb)       (jj enumerates ``present`` slots)
-    out_set(seg, limbs_list)         (seg = 2*out_slot + comp)
-    vocab/rvocab: VMEM scratch refs [24|3*npres, NLIMBS, 8, 128].
-    """
-    # LHS vocabulary: slots + xi-premultiplied slots.
-    for i in range(6):
-        c0 = [a_get(2 * i, l) for l in range(NLIMBS)]
-        c1 = [a_get(2 * i + 1, l) for l in range(NLIMBS)]
-        x0, x1 = K.k2_mul_w6((c0, c1))
-        for l in range(NLIMBS):
-            vocab[4 * i + 0, l] = c0[l]
-            vocab[4 * i + 1, l] = c1[l]
-            vocab[4 * i + 2, l] = x0[l]
-            vocab[4 * i + 3, l] = x1[l]
-
-    # RHS vocabulary: present slots + negated c1.
-    for jj in range(len(present)):
-        b0 = [b_slot_get(jj, 0, l) for l in range(NLIMBS)]
-        b1 = [b_slot_get(jj, 1, l) for l in range(NLIMBS)]
-        nb1 = K.k_neg_2p(b1)
-        for l in range(NLIMBS):
-            rvocab[3 * jj + 0, l] = b0[l]
-            rvocab[3 * jj + 1, l] = b1[l]
-            rvocab[3 * jj + 2, l] = nb1[l]
-
-    _, _, offsets = _seg_tables(present)
-
-    # Per-segment accumulate (fori carry = 44 register tiles) then reduce.
-    for seg in range(12):
-        n_terms = offsets[seg + 1] - offsets[seg]
-        base = offsets[seg]
-
-        def term_body(t, acc):
-            li = lhs_ref[t]
-            ri = rhs_ref[t]
-            av = [vocab[li, l] for l in range(NLIMBS)]
-            bv = [rvocab[ri, l] for l in range(NLIMBS)]
-            w = K.k_mul_wide_carried(av, bv)
-            return tuple(acc[pos] + w[pos] for pos in range(K.WIDE))
-
-        acc = jax.lax.fori_loop(
-            base, base + n_terms, term_body, (zero_tile,) * K.WIDE
-        )
-        out = K.k_mont_reduce(list(acc), limb_bound=2 * n_terms * SETTLED)
-        out_set(seg, out)
-
-
-# ---------------------------------------------------------------------------
 # v2 cores: unordered-pair + Fq2-Karatsuba decomposition
 # ---------------------------------------------------------------------------
 #
@@ -233,42 +140,6 @@ def _sparse_core_v2(present: Tuple[int, ...], a_get, b_slot_get, out_set):
             term = W.k2w_mul(A[i], B[jj])
             _acc_add(acc, (i + j) % 6, i + j >= 6, term)
     _acc_flush(acc, out_set)
-
-
-class _VocabRef:
-    """Thin indexing adapter: vocab[row, limb] -> [8, 128] tile."""
-
-    def __init__(self, ref):
-        self.ref = ref
-
-    def __getitem__(self, idx):
-        row, limb = idx
-        return self.ref[row, limb]
-
-    def __setitem__(self, idx, v):
-        row, limb = idx
-        self.ref[row, limb] = v
-
-
-def _mul_kernel_wrapped(present, lhs_ref, rhs_ref, a_ref, b_ref, out_ref,
-                        vocab_ref, rvocab_ref):
-    zero_tile = a_ref[0, 0] * 0
-
-    def out_set(seg, limbs):
-        for l in range(NLIMBS):
-            out_ref[seg, l] = limbs[l]
-
-    _mul_core(
-        present,
-        lhs_ref,
-        rhs_ref,
-        lambda c, l: a_ref[c, l],
-        lambda jj, cc, l: b_ref[2 * present[jj] + cc, l],
-        out_set,
-        _VocabRef(vocab_ref),
-        _VocabRef(rvocab_ref),
-        zero_tile,
-    )
 
 
 def _mul_kernel_v2(present, a_ref, b_ref, out_ref):

@@ -106,7 +106,10 @@ def k_mont_reduce(t: List, limb_bound: int = 1 << 15) -> List:
         t = k_carry(t, rounds)
     lo = t[:NLIMBS]
     m_raw = k_mul_const(lo, NP_INT, NLIMBS + 1)
-    m = k_carry(m_raw, 3)[:NLIMBS]
+    # two rounds leave m limbs <= 8213 (raw cols <= 21*SETTLED*MASK =
+    # 1.41e9; r1 -> 8191 + 172k, r2 -> 8191 + 21 + 1); u's raw columns
+    # then stay <= 21*8213*8191 < 2^31 and s settles in the 3 rounds below.
+    m = k_carry(m_raw, 2)[:NLIMBS]
     u = k_mul_const(m, P_INT, WIDE)
     s = [u[i] + t[i] for i in range(WIDE)]
     s = k_carry(s, 3)
@@ -120,8 +123,10 @@ def k_mont_reduce(t: List, limb_bound: int = 1 << 15) -> List:
 
 
 def k_mont_mul(a: Sequence, b: Sequence) -> List:
-    raw = k_pad(k_mul_wide(a, b), WIDE)
-    return k_mont_reduce(k_carry(raw, 3))
+    return k_mont_reduce(
+        k_carry(k_pad(k_mul_wide(a, b), WIDE), 1),
+        limb_bound=MASK + ((NLIMBS * (RADIX + 1) * (RADIX + 1)) >> RADIX_BITS),
+    )
 
 
 def k_add(a: Sequence, b: Sequence, carry_rounds: int = 1) -> List:
@@ -274,19 +279,20 @@ def kv2_mul(a, b):
     w0 = [
         x + y
         for x, y in zip(
-            k_mul_wide_carried(a0.limbs, b0.limbs),
-            k_mul_wide_carried(a1.limbs, nb1.limbs),
+            k_mul_wide_1r(a0.limbs, b0.limbs),
+            k_mul_wide_1r(a1.limbs, nb1.limbs),
         )
     ]
     w1 = [
         x + y
         for x, y in zip(
-            k_mul_wide_carried(a0.limbs, b1.limbs),
-            k_mul_wide_carried(a1.limbs, b0.limbs),
+            k_mul_wide_1r(a0.limbs, b1.limbs),
+            k_mul_wide_1r(a1.limbs, b0.limbs),
         )
     ]
     return KV2(
-        KV(k_mont_reduce(w0), 2 * P), KV(k_mont_reduce(w1), 2 * P)
+        KV(k_mont_reduce(w0, limb_bound=2 * MUL_1R_BOUND), 2 * P),
+        KV(k_mont_reduce(w1, limb_bound=2 * MUL_1R_BOUND), 2 * P),
     )
 
 
@@ -296,11 +302,15 @@ def kv2_square(a):
     t1 = kv_sub(KV(a0.limbs, a0.bound), KV(a1.limbs, a1.bound))
     t0p, t1p = _kv_prep(t0), _kv_prep(t1)
     c0 = KV(
-        k_mont_reduce(k_mul_wide_carried(t0p.limbs, t1p.limbs)), 2 * P
+        k_mont_reduce(
+            k_mul_wide_1r(t0p.limbs, t1p.limbs), limb_bound=MUL_1R_BOUND
+        ),
+        2 * P,
     )
     c1 = KV(
         k_mont_reduce(
-            k_mul_wide_carried(k_scale(a0.limbs, 2), a1.limbs)
+            k_mul_wide_1r(k_scale(a0.limbs, 2), a1.limbs),
+            limb_bound=MUL_1R_BOUND,
         ),
         2 * P,
     )
@@ -322,18 +332,29 @@ def k_mul_wide_carried(a: Sequence, b: Sequence) -> List:
     return k_carry(k_pad(k_mul_wide(a, b), WIDE), 3)
 
 
+def k_mul_wide_1r(a: Sequence, b: Sequence) -> List:
+    """ONCE-carried WIDE product of settled operands: positions <=
+    MASK + (21*SETTLED^2 >> 13) ~ 2^17.5, so up to ~2^13 of these can
+    accumulate in int32. Two carry sweeps cheaper than the settled form;
+    pass the looser positions to k_mont_reduce via ``limb_bound``."""
+    return k_carry(k_pad(k_mul_wide(a, b), WIDE), 1)
+
+
+#: position bound of a k_mul_wide_1r output (see docstring).
+MUL_1R_BOUND = MASK + ((NLIMBS * (RADIX + 1) * (RADIX + 1)) >> RADIX_BITS)
+
+
 def k2_mul(a, b):
-    # raw position sums approach 2^30.4 each, so carry each product before
-    # accumulating (two raws summed would overflow int32).
-    # Operands may be up to 4p (the c1 negation uses a 4p offset).
-    a0, a1 = a
-    b0, b1 = b
-    nb1 = k_neg_4p(b1)
-    w0 = [x + y for x, y in zip(k_mul_wide_carried(a0, b0), k_mul_wide_carried(a1, nb1))]
-    w1 = [x + y for x, y in zip(k_mul_wide_carried(a0, b1), k_mul_wide_carried(a1, b0))]
-    c0 = k_mont_reduce(w0)
-    c1 = k_mont_reduce(w1)
-    return (c0, c1)
+    # Karatsuba via the KW signed-wide layer: 3 once-carried products
+    # (m0 = a0 b0, m1 = a1 b1, m2 = (a0+a1)(b0+b1)) with c0 = m0 - m1 and
+    # c1 = m2 - m0 - m1; kw_finalize adds the mod-p offset and validates
+    # the int32/Montgomery budgets exactly. Operands: value < 4p (the VM
+    # assembler's envelope), limbs settled.
+    from .kwide import K2, k2w_mul, kw2_finalize
+
+    a2 = K2(list(a[0]), list(a[1]), 4 * P)
+    b2 = K2(list(b[0]), list(b[1]), 4 * P)
+    return kw2_finalize(k2w_mul(a2, b2))
 
 
 def k2_add(a, b):
@@ -353,9 +374,9 @@ def k2_square(a):
     a0, a1 = a
     t0 = k_add(a0, a1)
     t1 = k_sub_2p(a0, a1)
-    c0 = k_mont_reduce(k_mul_wide_carried(t0, t1), limb_bound=2 * RADIX)
+    c0 = k_mont_reduce(k_mul_wide_1r(t0, t1), limb_bound=MUL_1R_BOUND)
     c1 = k_mont_reduce(
-        k_mul_wide_carried(k_scale(a0, 2), a1), limb_bound=2 * RADIX
+        k_mul_wide_1r(k_scale(a0, 2), a1), limb_bound=MUL_1R_BOUND
     )
     return (c0, c1)
 

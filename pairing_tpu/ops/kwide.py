@@ -48,6 +48,35 @@ def _taper(v: int) -> Tuple[int, ...]:
     return tuple(min(SETTLED, v >> (RADIX_BITS * i)) for i in range(WIDE))
 
 
+@lru_cache(maxsize=None)
+def _prod_pb_1r(la: int, lb: int, vv: int) -> Tuple[int, ...]:
+    """Exact per-position bounds of a ONCE-carried product wide.
+
+    Raw schoolbook column k of a product (limbs <= la, lb; value <= vv)
+    holds min(k+1, NLIMBS, 2*NLIMBS-1-k) terms, each <= la*lb; since all
+    positions are non-negative and weight-sum to the value, column k is
+    also <= vv >> 13k (the value taper that keeps kw_finalize's mod-p
+    offset within the Montgomery budget). One carry round maps bounds
+    b[k] -> min(MASK, b[k]) + (b[k-1] >> 13), still value-tapered.
+    """
+    raw = []
+    for k in range(WIDE):
+        if k <= 2 * NLIMBS - 2:
+            ck = min(k + 1, NLIMBS, 2 * NLIMBS - 1 - k)
+            raw.append(min(ck * la * lb, vv >> (RADIX_BITS * k)))
+        else:
+            raw.append(0)
+    pb = [min(MASK, raw[0])]
+    for k in range(1, WIDE):
+        pb.append(
+            min(
+                min(MASK, raw[k]) + (raw[k - 1] >> RADIX_BITS),
+                vv >> (RADIX_BITS * k),
+            )
+        )
+    return tuple(pb)
+
+
 class KW:
     """Signed wide accumulator: raw int32 positions + exact static bounds.
 
@@ -73,11 +102,18 @@ class KW:
 def kw_prod(a: Sequence, b: Sequence, va: int, vb: int,
             la: int = SETTLED, lb: int = SETTLED) -> KW:
     """Non-negative product wide of settled operands (values <= va, vb;
-    limbs <= la, lb). The raw schoolbook columns must fit int32."""
+    limbs <= la, lb). The raw schoolbook columns must fit int32.
+
+    Carries the raw columns ONCE (positions <= ~2^17.5, exact bounds via
+    :func:`_prod_pb_1r`) instead of settling fully — the v2 cores
+    accumulate only ~10 such wides per output slot, so the int32 and
+    Montgomery budgets hold (asserted by KW / kw_finalize), and the two
+    saved carry sweeps are ~20% of each 441-MAC product.
+    """
     assert NLIMBS * la * lb <= _I32, "kw_prod operand limbs too large"
-    w = K.k_mul_wide_carried(a, b)
+    w = K.k_carry(K.k_pad(K.k_mul_wide(a, b), WIDE), 1)
     v = va * vb
-    return KW(list(w), _taper(v), (0,) * WIDE, v, 0)
+    return KW(list(w), _prod_pb_1r(la, lb, v), (0,) * WIDE, v, 0)
 
 
 def kw_add(x: KW, y: KW) -> KW:
@@ -150,7 +186,10 @@ def kw_finalize(x: KW) -> List:
     Montgomery budget, and reduce to a settled limb list < 2p."""
     c, cv = _offset_limbs(x.nb)
     total = x.vhi + cv
-    assert total < _RP, (
+    # 0.99*R*p, not R*p: k_mont_reduce's 2-round m can slightly exceed R
+    # in value (limbs <= 8213), so out < total/R + (m/R)*p needs total a
+    # hair below R*p to preserve the < 2p output envelope.
+    assert total * 100 < _RP * 99, (
         f"KW value budget exceeded: {total.bit_length()} bits vs "
         f"{_RP.bit_length()} (R*p)"
     )
