@@ -99,20 +99,133 @@ class KW:
             assert p <= _I32 and n <= _I32, "KW position magnitude overflow"
 
 
+_KSPLIT = (NLIMBS + 1) // 2  # 11 low limbs, 10 high limbs
+
+
+def _school(xs: Sequence, ys: Sequence) -> List:
+    """Trace-time schoolbook column sums (len(xs)+len(ys)-1 positions)."""
+    acc: List = [None] * (len(xs) + len(ys) - 1)
+    for i, x in enumerate(xs):
+        for j, y in enumerate(ys):
+            t = x * y
+            k = i + j
+            acc[k] = t if acc[k] is None else acc[k] + t
+    return acc
+
+
+def _colb(n1: int, n2: int, k: int, per: int) -> int:
+    """Max magnitude of schoolbook column k (term count x per-term max)."""
+    if k < 0 or k > n1 + n2 - 2:
+        return 0
+    return min(k + 1, n1, n2, n1 + n2 - 1 - k) * per
+
+
+@lru_cache(maxsize=None)
+def _kara_bounds(la: int, lb: int, va: int, vb: int):
+    """Exact raw/carried bounds of the split-limb Karatsuba product wide.
+
+    Returns (ok, pb_carried, nb_carried): ok=False when a raw column
+    would overflow int32 (caller falls back to schoolbook). Bound model:
+
+      m0 = a_lo*b_lo, m1 = a_hi*b_hi (non-negative, value-tapered: a
+      non-negative schoolbook's column k satisfies col*2^13k <= value),
+      md = (a_lo-a_hi)(b_lo-b_hi) with |md[k]| <= colb(k)*la*lb (no
+      taper: differences can cancel in value but not per-limb),
+      out[k] = m0[k] + (m0+m1-md)[k-11] + m1[k-22].
+    """
+    ns_lo, ns_hi = _KSPLIT, NLIMBS - _KSPLIT
+    lo_cap = (1 << (RADIX_BITS * ns_lo)) - 1
+    hi_cap = (1 << (RADIX_BITS * ns_hi)) - 1
+    av_lo = min(va, la * lo_cap // MASK + 1)
+    bv_lo = min(vb, lb * lo_cap // MASK + 1)
+    av_hi = min(va >> (RADIX_BITS * ns_lo), la * hi_cap // MASK + 1)
+    bv_hi = min(vb >> (RADIX_BITS * ns_lo), lb * hi_cap // MASK + 1)
+    m0v = av_lo * bv_lo
+    m1v = av_hi * bv_hi
+
+    def pb0(k):
+        if k < 0:
+            return 0
+        return min(_colb(ns_lo, ns_lo, k, la * lb), m0v >> (RADIX_BITS * k))
+
+    def pb1(k):
+        if k < 0:
+            return 0
+        return min(_colb(ns_hi, ns_hi, k, la * lb), m1v >> (RADIX_BITS * k))
+
+    def mdb(k):
+        return _colb(ns_lo, ns_lo, k, la * lb)
+
+    raw_pb, raw_nb = [], []
+    for k in range(WIDE):
+        mid = k - ns_lo
+        raw_pb.append(pb0(k) + pb0(mid) + pb1(mid) + pb1(k - 2 * ns_lo))
+        raw_nb.append(mdb(mid))
+    if max(raw_pb) > _I32 or max(raw_nb) > _I32:
+        return False, None, None
+    # One signed carry round: pos'[k] = (raw[k] & MASK) + (raw[k-1] >> 13).
+    # The lo part is in [0, MASK] (two's complement & for negatives too);
+    # when the position is provably non-negative it is <= raw_pb[k]. The
+    # hi part is in [-ceil(nb/2^13), pb >> 13] (arithmetic shift).
+    pb, nb = [], []
+    for k in range(WIDE):
+        lo_hi = min(MASK, raw_pb[k]) if raw_nb[k] == 0 else MASK
+        hi_pos = raw_pb[k - 1] >> RADIX_BITS if k else 0
+        hi_neg = (raw_nb[k - 1] + MASK) >> RADIX_BITS if k else 0
+        pb.append(lo_hi + hi_pos)
+        nb.append(hi_neg)
+    return True, tuple(pb), tuple(nb)
+
+
 def kw_prod(a: Sequence, b: Sequence, va: int, vb: int,
             la: int = SETTLED, lb: int = SETTLED) -> KW:
-    """Non-negative product wide of settled operands (values <= va, vb;
-    limbs <= la, lb). The raw schoolbook columns must fit int32.
+    """Product wide of settled operands (values <= va, vb; limbs <= la,
+    lb), carried ONCE so ~2^13 of them can accumulate in int32.
 
-    Carries the raw columns ONCE (positions <= ~2^17.5, exact bounds via
-    :func:`_prod_pb_1r`) instead of settling fully — the v2 cores
-    accumulate only ~10 such wides per output slot, so the int32 and
-    Montgomery budgets hold (asserted by KW / kw_finalize), and the two
-    saved carry sweeps are ~20% of each 441-MAC product.
+    Uses split-limb subtractive Karatsuba (11/10 split: 342 MACs instead
+    of 441) when the signed middle columns provably fit int32 (exact
+    per-position bounds via :func:`_kara_bounds`; worst column is
+    31*la*lb), falling back to the plain schoolbook otherwise. Both
+    variants return exact per-position bounds for the KW budget checks.
     """
+    v = va * vb
+    ok, pb, nb = _kara_bounds(la, lb, va, vb)
+    if ok:
+        ns_lo = _KSPLIT
+        a_lo, a_hi = list(a[:ns_lo]), list(a[ns_lo:])
+        b_lo, b_hi = list(b[:ns_lo]), list(b[ns_lo:])
+        m0 = _school(a_lo, b_lo)
+        m1 = _school(a_hi, b_hi)
+        da = [
+            a_lo[i] - a_hi[i] if i < len(a_hi) else a_lo[i]
+            for i in range(ns_lo)
+        ]
+        db = [
+            b_lo[i] - b_hi[i] if i < len(b_hi) else b_lo[i]
+            for i in range(ns_lo)
+        ]
+        md = _school(da, db)
+        mid = [
+            (m0[k] if k < len(m0) else 0)
+            + (m1[k] if k < len(m1) else 0)
+            - md[k]
+            for k in range(len(md))
+        ]
+        out: List = [None] * WIDE
+        for k, x in enumerate(m0):
+            out[k] = x
+        for k, x in enumerate(mid):
+            p = ns_lo + k
+            out[p] = x if out[p] is None else out[p] + x
+        for k, x in enumerate(m1):
+            p = 2 * ns_lo + k
+            out[p] = x if out[p] is None else out[p] + x
+        zero = a[0] - a[0]
+        out = [x if x is not None else zero for x in out]
+        w = K.k_carry(out, 1)
+        return KW(list(w), pb, nb, v, 0)
     assert NLIMBS * la * lb <= _I32, "kw_prod operand limbs too large"
     w = K.k_carry(K.k_pad(K.k_mul_wide(a, b), WIDE), 1)
-    v = va * vb
     return KW(list(w), _prod_pb_1r(la, lb, v), (0,) * WIDE, v, 0)
 
 

@@ -136,3 +136,31 @@ def test_budget_assert_trips():
         for _ in range(25):  # 2^25 * 4p^2 > R*p
             w = W.kw_scale(w, 2)
         W.kw_finalize(w)
+
+
+def test_kara_position_bounds_sound():
+    """The Karatsuba kw_prod's claimed per-position bounds must dominate
+    the actual carried positions (adversarial all-max-limb operands)."""
+    worst = [(1 << (RADIX_BITS * NLIMBS)) - 1]  # all limbs = MASK
+    vals = worst + rand_vals(31, 2 * P)
+    a, b = to_limbs(vals), to_limbs(list(reversed(vals)))
+    w = W.kw_prod(a, b, 1 << (RADIX_BITS * NLIMBS), 1 << (RADIX_BITS * NLIMBS))
+    for k, pos in enumerate(w.pos):
+        arr = np.asarray(pos, np.int64)
+        assert arr.max() <= w.pb[k], f"pos {k}: {arr.max()} > pb {w.pb[k]}"
+        assert -arr.min() <= w.nb[k], f"pos {k}: {arr.min()} < -nb {w.nb[k]}"
+
+
+def test_kara_matches_schoolbook_fallback():
+    """Karatsuba and schoolbook kw_prod finalize to the same residues."""
+    a_v = rand_vals(8, 4 * P)
+    b_v = rand_vals(8, 4 * P)
+    a, b = to_limbs(a_v), to_limbs(b_v)
+    kara = from_limbs(W.kw_finalize(W.kw_prod(a, b, 4 * P, 4 * P)))
+    # force the schoolbook path
+    w = K.k_carry(K.k_pad(K.k_mul_wide(a, b), K.WIDE), 1)
+    sb = W.KW(list(w), W._prod_pb_1r(MASK + 2, MASK + 2, 16 * P * P),
+              (0,) * K.WIDE, 16 * P * P, 0)
+    school = from_limbs(W.kw_finalize(sb))
+    for x, y in zip(kara, school):
+        assert x % P == y % P
