@@ -27,6 +27,7 @@ from ..fields.fp import (
     P_LIMBS,
     RADIX,
     RADIX_BITS,
+    SETTLED,
 )
 from ..utils.bn254 import P
 
@@ -384,35 +385,66 @@ def k2_square(a):
 def k_cyc_sq(slots):
     """Granger-Scott cyclotomic squaring on 6 Fq2 slots (see
     fields.fp12.fq12_cyclotomic_sq). Input slots (2p, settled); output
-    same envelope via a weak reduction fold."""
+    same envelope.
 
-    def fq4_sq(x, y):
-        x2 = k2_square(x)
-        y2 = k2_square(y)
-        s = k2_square(k2_add(x, y))
-        cross = k2_sub(k2_sub(s, x2), y2)
-        return k2_add(x2, k2_mul_w6(y2)), cross
-
-    A0, A1 = fq4_sq(slots[0], slots[3])
-    B0, B1 = fq4_sq(slots[1], slots[4])
-    C0, C1 = fq4_sq(slots[2], slots[5])
-    out = [None] * 6
-    out[0] = k2_sub(k2_scale(A0, 3), k2_scale(slots[0], 2))
-    out[2] = k2_sub(k2_scale(B0, 3), k2_scale(slots[2], 2))
-    out[4] = k2_sub(k2_scale(C0, 3), k2_scale(slots[4], 2))
-    out[1] = k2_add(k2_scale(k2_mul_w6(C1), 3), k2_scale(slots[1], 2))
-    out[3] = k2_add(k2_scale(A1, 3), k2_scale(slots[3], 2))
-    out[5] = k2_add(k2_scale(B1, 3), k2_scale(slots[5], 2))
-    # renormalize each component to < 2p: multiply by mont-one (weak reduce)
+    The whole formula — fq4 squarings AND the 3A ± 2a linear combination —
+    stays in the KW signed-wide domain, so each output component pays
+    exactly ONE Montgomery reduction (the old form finalized the fq4
+    parts and then renormalized the linear combination with a second
+    mul-by-one reduce per component: 24 reduces; this does 12). The
+    linear ±2a term enters the wide domain as a const-multiply by
+    2R mod p — the reduce's R^-1 then returns it to plain Montgomery
+    form, matching the product terms."""
+    from . import kwide as W
+    from ..utils.bn254 import P as _P
     from ..fields.fp import R_MOD_P as _RMP
 
-    one = [int(x) for x in _const_limbs(_RMP)]
-    norm = []
-    for c in out:
-        n0 = k_mont_reduce(k_mul_const(c[0], one, WIDE), limb_bound=1 << 18)
-        n1 = k_mont_reduce(k_mul_const(c[1], one, WIDE), limb_bound=1 << 18)
-        norm.append((n0, n1))
-    return norm
+    S = [W.K2(list(s[0]), list(s[1]), 2 * _P) for s in slots]
+
+    two_r = (2 * _RMP) % _P
+    two_r_limbs = [int(x) for x in _const_limbs(two_r)]
+    # exact per-position bounds of the const-mul wide
+    pb_2r = tuple(
+        SETTLED
+        * sum(
+            two_r_limbs[j]
+            for j in range(max(0, k - NLIMBS + 1), min(k + 1, NLIMBS))
+        )
+        for k in range(WIDE)
+    )
+
+    def lift2(s: W.K2):
+        """Settled Fq2 operand as a KWPair holding 2*R*value (so one
+        Montgomery reduce returns 2*value)."""
+
+        def lift(limbs):
+            w = k_mul_const(limbs, two_r_limbs, WIDE)
+            return W.KW(list(w), pb_2r, (0,) * WIDE, s.bound * two_r, 0)
+
+        return (lift(s.c0), lift(s.c1))
+
+    def fq4_sq_w(x: W.K2, y: W.K2):
+        x2 = W.k2w_sq(x)
+        y2 = W.k2w_sq(y)
+        sq = W.k2w_sq(W.k2_sum(x, y))
+        cross = W.kw2_sub(W.kw2_sub(sq, x2), y2)  # = 2xy in Fq4
+        return W.kw2_add(x2, W.kw2_xi(y2)), cross
+
+    A0, A1 = fq4_sq_w(S[0], S[3])
+    B0, B1 = fq4_sq_w(S[1], S[4])
+    C0, C1 = fq4_sq_w(S[2], S[5])
+
+    def scale2(x, s):
+        return (W.kw_scale(x[0], s), W.kw_scale(x[1], s))
+
+    out = [None] * 6
+    out[0] = W.kw2_sub(scale2(A0, 3), lift2(S[0]))
+    out[2] = W.kw2_sub(scale2(B0, 3), lift2(S[2]))
+    out[4] = W.kw2_sub(scale2(C0, 3), lift2(S[4]))
+    out[1] = W.kw2_add(scale2(W.kw2_xi(C1), 3), lift2(S[1]))
+    out[3] = W.kw2_add(scale2(A1, 3), lift2(S[3]))
+    out[5] = W.kw2_add(scale2(B1, 3), lift2(S[5]))
+    return [W.kw2_finalize(c) for c in out]
 
 
 def k2_mul_w6(a):

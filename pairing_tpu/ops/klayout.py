@@ -267,13 +267,15 @@ def kpow_x(m: jnp.ndarray) -> jnp.ndarray:
     """m^BN_X on the cyclotomic subgroup (the batched analogue of the
     reference's STARK exp offload; final_exp_native.rs:56-84).
 
-    Called 3x per final exp — the cached jit traces the 62-step ladder
-    body once per process."""
-    from .fused_kernels import BN_X_LADDER_DIGITS, pow_ladder_pallas
+    Called 3x per final exp — the cached jit traces the ladder body once
+    per process. Runs the width-4 NAF windowed ladder (13 in-ladder
+    multiplies vs 23 for plain NAF; table {m, m^3, m^5, m^7} built
+    in-kernel)."""
+    from .fused_kernels import BN_X_W4_DIGITS, pow_ladder_w4_pallas
 
     return cached_jit(
         ("kpow_x",),
-        lambda: lambda m: pow_ladder_pallas(m, kconj(m), BN_X_LADDER_DIGITS),
+        lambda: lambda m: pow_ladder_w4_pallas(m, BN_X_W4_DIGITS),
     )(m)
 
 

@@ -39,15 +39,14 @@ def pow_x_cyclotomic(m: Fq12) -> Fq12:
     from ..ops import dispatch
 
     m = fq12_cap(m)
-    m_conj = fq12_cap(F12.conjugate(m))
     if dispatch.use_pallas():
         from ..ops.fq12_kernels import from_kernel_layout, to_kernel_layout
-        from ..ops.fused_kernels import BN_X_LADDER_DIGITS, pow_ladder_pallas
+        from ..ops.fused_kernels import BN_X_W4_DIGITS, pow_ladder_w4_pallas
 
         m_arr, bs, pad = to_kernel_layout(m)
-        mc_arr, _, _ = to_kernel_layout(m_conj)
-        out = pow_ladder_pallas(m_arr, mc_arr, BN_X_LADDER_DIGITS)
+        out = pow_ladder_w4_pallas(m_arr, BN_X_W4_DIGITS)
         return from_kernel_layout(out, bs, pad)
+    m_conj = fq12_cap(F12.conjugate(m))
     one = fq12_cap(F12.fq12_one(m.batch_shape))
     digits = np.asarray(list(reversed(BN_X_NAF)), dtype=np.int32)
     assert digits[0] == 1

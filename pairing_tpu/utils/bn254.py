@@ -65,6 +65,31 @@ def get_naf(exp: int) -> List[int]:
     return naf
 
 
+def get_wnaf(exp: int, w: int) -> List[int]:
+    """Width-``w`` NAF digits of ``exp``, least-significant first.
+
+    Digits are odd with |d| < 2^(w-1); at most one nonzero digit in any
+    ``w`` consecutive positions (~len/(w+1) nonzero vs len/3 for plain
+    NAF). Generalizes :func:`get_naf` (w=2); used by the windowed
+    cyclotomic pow ladder to cut ladder multiplies."""
+    assert exp >= 0 and w >= 2
+    digits: List[int] = []
+    e = exp
+    half = 1 << (w - 1)
+    full = 1 << w
+    while e > 0:
+        if e & 1:
+            d = e % full
+            if d >= half:
+                d -= full
+            digits.append(d)
+            e -= d
+        else:
+            digits.append(0)
+        e >>= 1
+    return digits
+
+
 #: NAF of 6x+2 driving the optimal-ate Miller loop, least-significant first.
 #: Value-checked against the hardcoded table in miller_loop_native.rs:314-318.
 SIX_U_PLUS_2_NAF: Tuple[int, ...] = tuple(

@@ -168,3 +168,35 @@ def test_pairing_pallas_backend_bit_exact_tpu():
     finally:
         dispatch.force_backend(None)
     assert F12.fq12_to_int_coeffs(e) == [o.pairing(g1p, g2p)]
+
+
+@pytest.mark.skipif(
+    "PAIRING_SLOW_TESTS" not in __import__("os").environ,
+    reason="interpret mode unrolls the grid; slow on CPU (set PAIRING_SLOW_TESTS=1)",
+)
+def test_pow_ladder_w4_kernel_short():
+    """Windowed (w=4 NAF) ladder vs the oracle on a short exponent that
+    exercises every table entry and both signs."""
+    from pairing_tpu.ops.fused_kernels import _wnaf_msb, pow_ladder_w4_pallas
+    from pairing_tpu.utils.bn254 import get_wnaf
+
+    # e whose w-NAF covers every table entry {1,3,5,7} and a negative digit
+    e = 0x23B53
+    digits = _wnaf_msb(e, 4)
+    assert set(abs(int(d)) for d in digits if d) == {1, 3, 5, 7}
+    assert any(int(d) < 0 for d in digits)
+    v = 0
+    for d in digits:
+        v = 2 * v + int(d)
+    assert v == e
+    m_int = cyclotomic_element()
+    m = F12.fq12_from_int_coeffs([m_int])
+
+    @jax.jit
+    def run(m):
+        m_arr, bs, pad = to_kernel_layout(m)
+        out = pow_ladder_w4_pallas(m_arr, digits, interpret=True)
+        return from_kernel_layout(out, bs, pad)
+
+    got = run(m)
+    assert F12.fq12_to_int_coeffs(got) == [o.pow_fq12(m_int, e)]
