@@ -108,8 +108,19 @@ def fq12_to_canonical_limbs(a: Fq12) -> jnp.ndarray:
 
 def fq12_limbs_to_int_coeffs(arr):
     """Host helper: canonical limb array ``[*batch, 12, NLIMBS]`` (see
-    :func:`fq12_to_canonical_limbs`) -> list of 12-int coefficient lists."""
-    a = np.asarray(arr).astype(object)
+    :func:`fq12_to_canonical_limbs`) -> list of 12-int coefficient lists.
+
+    Uses the native C codec (pairing_tpu.native) when available — packs
+    each canonical row to 32 bytes in C and converts with
+    ``int.from_bytes`` — so streamed-export scale (millions of rows)
+    doesn't pay per-element Python bigint accumulation."""
+    from .. import native
+
+    a = np.asarray(arr)
+    if native.available():
+        flat = native.ints_from_limbs(a.reshape(-1, F.NLIMBS))
+        return [flat[12 * i : 12 * (i + 1)] for i in range(len(flat) // 12)]
+    a = a.astype(object)
     weights = np.array(
         [1 << (F.RADIX_BITS * i) for i in range(F.NLIMBS)], dtype=object
     )

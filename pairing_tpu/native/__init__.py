@@ -1,0 +1,218 @@
+"""Native (C) host runtime for pairing_tpu.
+
+The reference framework's host side is native Rust (arkworks bigints and
+plonky2 witness plumbing; e.g. pairing.rs / miller_loop_native.rs operate
+on ark_bn254::Fq).  This package is the TPU framework's native-runtime
+counterpart for the hot HOST paths — the device compute path stays
+jax/Pallas:
+
+  * canonical limb <-> 32-byte little-endian integer packing (witness
+    serialization, streamed exports, oracle cross-checks);
+  * host-side canonicalization (Montgomery exit + mod p) via base-2^13
+    REDC, so Montgomery-domain rows can be validated without a device
+    round-trip or per-element Python bigint math.
+
+Built on first use with the system C compiler (cc/gcc -O3 -shared) into
+``~/.cache/pairing_tpu/limbcodec-<abi>.so`` and loaded via ctypes; every
+entry point has a pure-Python fallback (``available()`` reports which is
+active), so the package works on machines without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+from ..fields.fp import MASK, NLIMBS, NPRIME, P_LIMBS, RADIX_BITS, _const_limbs
+from ..utils.bn254 import P
+
+_R = 1 << (RADIX_BITS * NLIMBS)
+_R_INV = pow(_R, -1, P)
+
+_SRC = os.path.join(os.path.dirname(__file__), "limbcodec.c")
+_ABI = f"{sys.implementation.cache_tag}-{os.uname().machine}"
+_LOCK = threading.Lock()
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    d = os.path.join(base, "pairing_tpu")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> Optional[str]:
+    so = os.path.join(_cache_dir(), f"limbcodec-{_ABI}.so")
+    src_mtime = os.path.getmtime(_SRC)
+    if os.path.exists(so) and os.path.getmtime(so) >= src_mtime:
+        return so
+    for cc in ("cc", "gcc", "clang", "g++"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", so + ".tmp", _SRC],
+                capture_output=True,
+                timeout=120,
+            )
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+        if r.returncode == 0:
+            os.replace(so + ".tmp", so)
+            return so
+    return None
+
+
+@lru_cache(maxsize=1)
+def _lib() -> Optional[ctypes.CDLL]:
+    with _LOCK:
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.lc_init.argtypes = [i32p, ctypes.c_int32]
+        lib.lc_init_consts.argtypes = [i32p, i32p]
+        lib.lc_canon.argtypes = [i32p, ctypes.c_int64, ctypes.c_int, i32p]
+        lib.lc_pack.argtypes = [i32p, ctypes.c_int64, u8p]
+        lib.lc_unpack.argtypes = [u8p, ctypes.c_int64, i32p]
+        lib.lc_canon_pack.argtypes = [i32p, ctypes.c_int64, ctypes.c_int, u8p]
+        lib.lc_unpack_mont.argtypes = [u8p, ctypes.c_int64, i32p]
+
+        def digits(v: int) -> np.ndarray:
+            return np.asarray(_const_limbs(v % P), dtype=np.int32)
+
+        p_d = np.ascontiguousarray(np.asarray(P_LIMBS, np.int32))
+        r2 = np.ascontiguousarray(digits((_R * _R) % P))
+        r1 = np.ascontiguousarray(digits(_R % P))
+        lib.lc_init(p_d.ctypes.data_as(i32p), ctypes.c_int32(NPRIME & MASK))
+        lib.lc_init_consts(r2.ctypes.data_as(i32p), r1.ctypes.data_as(i32p))
+        return lib
+
+
+def available() -> bool:
+    """True when the compiled codec is active (else Python fallback)."""
+    return _lib() is not None
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _flat_limbs(limbs) -> np.ndarray:
+    a = np.ascontiguousarray(np.asarray(limbs, dtype=np.int32))
+    assert a.shape[-1] == NLIMBS, "last axis must be NLIMBS"
+    return a.reshape(-1, NLIMBS)
+
+
+def canon_limbs(limbs, from_mont: bool) -> np.ndarray:
+    """Settled limb batch [..., NLIMBS] -> canonical (< p) limb batch.
+
+    ``from_mont``: input is in the device Montgomery domain (x*R mod p).
+    """
+    a = _flat_limbs(limbs)
+    lib = _lib()
+    if lib is not None:
+        out = np.empty_like(a)
+        lib.lc_canon(_i32p(a), a.shape[0], int(from_mont), _i32p(out))
+        return out.reshape(np.shape(limbs))
+    # Python fallback
+    w = np.array([1 << (RADIX_BITS * i) for i in range(NLIMBS)], dtype=object)
+    vals = (a.astype(object) * w).sum(axis=-1)
+    if from_mont:
+        vals = [(int(v) * _R_INV) % P for v in vals]
+    else:
+        vals = [int(v) % P for v in vals]
+    out = np.stack([np.asarray(_const_limbs(v), np.int32) for v in vals])
+    return out.reshape(np.shape(limbs))
+
+
+def pack_canonical(limbs) -> np.ndarray:
+    """Canonical limb batch [..., NLIMBS] -> uint8 [..., 32] (LE)."""
+    a = _flat_limbs(limbs)
+    lib = _lib()
+    out_shape = np.shape(limbs)[:-1] + (32,)
+    if lib is not None:
+        out = np.empty((a.shape[0], 32), np.uint8)
+        lib.lc_pack(_i32p(a), a.shape[0], _u8p(out))
+        return out.reshape(out_shape)
+    w = np.array([1 << (RADIX_BITS * i) for i in range(NLIMBS)], dtype=object)
+    vals = (a.astype(object) * w).sum(axis=-1)
+    out = np.stack(
+        [np.frombuffer(int(v).to_bytes(32, "little"), np.uint8) for v in vals]
+    )
+    return out.reshape(out_shape)
+
+
+def unpack_bytes(b) -> np.ndarray:
+    """uint8 [..., 32] (LE, values < 2^254) -> limb batch [..., NLIMBS]."""
+    a = np.ascontiguousarray(np.asarray(b, np.uint8))
+    assert a.shape[-1] == 32
+    flat = a.reshape(-1, 32)
+    out_shape = a.shape[:-1] + (NLIMBS,)
+    lib = _lib()
+    if lib is not None:
+        out = np.empty((flat.shape[0], NLIMBS), np.int32)
+        lib.lc_unpack(_u8p(flat), flat.shape[0], _i32p(out))
+        return out.reshape(out_shape)
+    rows = []
+    for row in flat:
+        v = int.from_bytes(row.tobytes(), "little")
+        rows.append(np.asarray(_const_limbs(v), np.int32))
+    return np.stack(rows).reshape(out_shape)
+
+
+def canon_pack(limbs, from_mont: bool) -> np.ndarray:
+    """Canonicalize + pack in one native pass (streamed-export hot path)."""
+    a = _flat_limbs(limbs)
+    lib = _lib()
+    out_shape = np.shape(limbs)[:-1] + (32,)
+    if lib is not None:
+        out = np.empty((a.shape[0], 32), np.uint8)
+        lib.lc_canon_pack(_i32p(a), a.shape[0], int(from_mont), _u8p(out))
+        return out.reshape(out_shape)
+    return pack_canonical(canon_limbs(a, from_mont)).reshape(out_shape)
+
+
+def unpack_mont(b) -> np.ndarray:
+    """uint8 [..., 32] (values < p) -> Montgomery-domain canonical limbs
+    (input loading hot path)."""
+    a = np.ascontiguousarray(np.asarray(b, np.uint8))
+    assert a.shape[-1] == 32
+    flat = a.reshape(-1, 32)
+    out_shape = a.shape[:-1] + (NLIMBS,)
+    lib = _lib()
+    if lib is not None:
+        out = np.empty((flat.shape[0], NLIMBS), np.int32)
+        lib.lc_unpack_mont(_u8p(flat), flat.shape[0], _i32p(out))
+        return out.reshape(out_shape)
+    rows = []
+    for row in flat:
+        v = int.from_bytes(row.tobytes(), "little")
+        rows.append(np.asarray(_const_limbs((v * _R) % P), np.int32))
+    return np.stack(rows).reshape(out_shape)
+
+
+def ints_from_limbs(limbs, from_mont: bool = False) -> List[int]:
+    """Settled limb batch [..., NLIMBS] -> flat list of canonical ints.
+
+    The native path canonicalizes + packs in C and converts each 32-byte
+    row with ``int.from_bytes`` — orders of magnitude faster than
+    per-element Python bigint accumulation at streamed-export scale.
+    """
+    packed = canon_pack(limbs, from_mont).reshape(-1, 32)
+    buf = packed.tobytes()
+    return [
+        int.from_bytes(buf[32 * i : 32 * (i + 1)], "little")
+        for i in range(packed.shape[0])
+    ]

@@ -1,0 +1,117 @@
+"""Native host limb codec (pairing_tpu.native) vs Python ground truth.
+
+The C codec is the host-runtime analogue of the reference's native
+bigint layer (arkworks Fq, pairing.rs); these tests pin it bit-for-bit
+to the pure-Python limb math in fields.fp for every entry point, on
+adversarial values (0, 1, p-1, p, 2p-1, random redundant encodings).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from pairing_tpu import native
+from pairing_tpu.fields.fp import MASK, NLIMBS, RADIX_BITS, int_to_limbs
+from pairing_tpu.utils.bn254 import P
+
+R = 1 << (RADIX_BITS * NLIMBS)
+R_INV = pow(R, -1, P)
+RNG = random.Random(42)
+
+
+def limbs_of(v: int) -> np.ndarray:
+    return np.asarray(int_to_limbs(v), np.int32)
+
+
+def val_of(limbs) -> int:
+    return sum(int(x) << (RADIX_BITS * i) for i, x in enumerate(limbs))
+
+
+EDGE = [0, 1, P - 1, P, P + 1, 2 * P - 1, R - 1]
+RANDOM = [RNG.randrange(0, 2 * P) for _ in range(64)]
+
+
+def test_backend_reported():
+    # Either backend is valid; on the CI image the toolchain exists, so
+    # exercise the native path for real.
+    assert native.available(), "C toolchain present but codec not built"
+
+
+@pytest.mark.parametrize("from_mont", [False, True])
+def test_canon_limbs(from_mont):
+    vals = EDGE + RANDOM
+    arr = np.stack([limbs_of(v) for v in vals])
+    out = native.canon_limbs(arr, from_mont=from_mont)
+    for v, row in zip(vals, out):
+        expect = (v * R_INV) % P if from_mont else v % P
+        assert val_of(row) == expect
+
+
+def test_pack_unpack_roundtrip():
+    vals = [v % P for v in EDGE + RANDOM]
+    arr = np.stack([limbs_of(v) for v in vals])
+    packed = native.pack_canonical(arr)
+    assert packed.shape == (len(vals), 32)
+    for v, row in zip(vals, packed):
+        assert int.from_bytes(row.tobytes(), "little") == v
+    back = native.unpack_bytes(packed)
+    assert np.array_equal(back, arr)
+
+
+@pytest.mark.parametrize("from_mont", [False, True])
+def test_canon_pack_matches_two_step(from_mont):
+    vals = EDGE + RANDOM
+    arr = np.stack([limbs_of(v) for v in vals])
+    one = native.canon_pack(arr, from_mont=from_mont)
+    two = native.pack_canonical(native.canon_limbs(arr, from_mont=from_mont))
+    assert np.array_equal(one, two)
+
+
+def test_unpack_mont_enters_domain():
+    vals = [v % P for v in EDGE + RANDOM]
+    packed = np.stack(
+        [np.frombuffer(v.to_bytes(32, "little"), np.uint8) for v in vals]
+    )
+    out = native.unpack_mont(packed)
+    for v, row in zip(vals, out):
+        assert val_of(row) == (v * R) % P
+
+
+def test_ints_from_limbs_matches_python():
+    vals = (EDGE + RANDOM)[:64]
+    arr = np.stack([limbs_of(v) for v in vals]).reshape(2, -1, NLIMBS)
+    got = native.ints_from_limbs(arr, from_mont=True)
+    assert got == [(v * R_INV) % P for v in vals]
+
+
+def test_unsettled_redundant_inputs():
+    """Limbs above the radix (carry-pending device outputs) canonicalize
+    by value, not by digit pattern."""
+    rows, vals = [], []
+    for _ in range(16):
+        limbs = np.asarray(
+            [RNG.randrange(0, (1 << 17)) for _ in range(NLIMBS)], np.int32
+        )
+        # keep the value below R so the plain-path REDC budget holds
+        limbs[-1] = RNG.randrange(0, MASK // 2)
+        rows.append(limbs)
+        vals.append(val_of(limbs))
+    arr = np.stack(rows)
+    out = native.canon_limbs(arr, from_mont=False)
+    for v, row in zip(vals, out):
+        assert val_of(row) == v % P
+
+
+def test_python_fallback_paths_agree(monkeypatch):
+    """Force the fallback and pin it to the native results."""
+    vals = EDGE + RANDOM[:8]
+    arr = np.stack([limbs_of(v) for v in vals])
+    native_canon = native.canon_limbs(arr, from_mont=True)
+    native_pack = native.pack_canonical(native_canon)
+    native_mont = native.unpack_mont(native_pack)
+    monkeypatch.setattr(native, "_lib", lambda: None)
+    assert np.array_equal(native.canon_limbs(arr, True), native_canon)
+    assert np.array_equal(native.pack_canonical(native_canon), native_pack)
+    assert np.array_equal(native.unpack_mont(native_pack), native_mont)
+    assert np.array_equal(native.unpack_bytes(native_pack), native_canon)
