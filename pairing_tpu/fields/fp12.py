@@ -112,8 +112,8 @@ def fq12_limbs_to_int_coeffs(arr):
 
     Uses the native C codec (pairing_tpu.native) when available — packs
     each canonical row to 32 bytes in C and converts with
-    ``int.from_bytes`` — so streamed-export scale (millions of rows)
-    doesn't pay per-element Python bigint accumulation."""
+    ``int.from_bytes`` (measured ~4x the numpy object-array path:
+    1.5M rows/s vs 0.36M)."""
     from .. import native
 
     a = np.asarray(arr)
