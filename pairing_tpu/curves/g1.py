@@ -38,8 +38,8 @@ class G1:
 
 def g1_from_ints(points: Sequence[Tuple[int, int]]) -> G1:
     """[(x, y), ...] host ints -> G1 batch."""
-    xs = F.to_mont(F.fp_from_ints([p[0] for p in points]))
-    ys = F.to_mont(F.fp_from_ints([p[1] for p in points]))
+    xs = F.fp_from_ints_mont([p[0] for p in points])
+    ys = F.fp_from_ints_mont([p[1] for p in points])
     return G1(xs, ys)
 
 

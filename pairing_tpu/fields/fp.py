@@ -130,6 +130,24 @@ def fp_from_ints(xs: Sequence[int]) -> Fp:
     return Fp(jnp.asarray(arr), bound=P, limb_bound=MASK)
 
 
+def fp_from_ints_mont(xs: Sequence[int]) -> Fp:
+    """Host int list -> Montgomery-domain Fp batch (input loading).
+
+    Native path: pack each value to 32 LE bytes (``int.to_bytes``) and
+    enter the Montgomery domain on the HOST via the C codec's base-2^13
+    REDC — no per-element Python limb loop and no device ``to_mont``
+    multiply. Fallback: ``to_mont(fp_from_ints(xs))`` (value-identical
+    mod p; the device path may return a non-canonical < 2p residue)."""
+    from .. import native
+
+    if native.available():
+        buf = b"".join((x % P).to_bytes(32, "little") for x in xs)
+        packed = np.frombuffer(buf, np.uint8).reshape(len(xs), 32)
+        return Fp(jnp.asarray(native.unpack_mont(packed)),
+                  bound=P, limb_bound=MASK)
+    return to_mont(fp_from_ints(xs))
+
+
 def fp_to_ints(a: Fp) -> np.ndarray:
     """Device -> host python ints (object array over batch)."""
     limbs = np.asarray(a.limbs)

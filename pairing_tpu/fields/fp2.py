@@ -53,9 +53,13 @@ def fp2_stack_from_ints(pairs, mont: bool = True) -> Fp2:
     """List of (c0, c1) -> Fp2 batch of shape [len(pairs)]."""
     import numpy as np
 
-    r = F.R_MONT if mont else 1
-    c0 = F.fp_from_ints([(x[0] * r) % P for x in pairs])
-    c1 = F.fp_from_ints([(x[1] * r) % P for x in pairs])
+    if mont:
+        return Fp2(
+            F.fp_from_ints_mont([x[0] for x in pairs]),
+            F.fp_from_ints_mont([x[1] for x in pairs]),
+        )
+    c0 = F.fp_from_ints([x[0] % P for x in pairs])
+    c1 = F.fp_from_ints([x[1] % P for x in pairs])
     return Fp2(c0, c1)
 
 
