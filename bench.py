@@ -28,8 +28,17 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--validate", type=int, default=-1,
                     help="lanes to check vs the oracle (-1 = every unique lane)")
-    ap.add_argument("--unique", type=int, default=16,
+    ap.add_argument("--unique", type=int, default=256,
                     help="distinct input pairs (tiled to fill the batch)")
+    ap.add_argument("--multi", type=int, default=0,
+                    help="K>0: benchmark the Groth16 shape (BASELINE "
+                    "config 2) — batches of K-pair products, each with "
+                    "shared squarings and ONE final exp; throughput is "
+                    "counted in pairings (K per product)")
+    ap.add_argument("--witness", action="store_true",
+                    help="benchmark batched witness generation (BASELINE "
+                    "config 4): full pairing + per-step f trace + exp "
+                    "ladder rows; metric = witnesses/s")
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace into this directory")
     ap.add_argument("--pipeline", type=int, default=4,
@@ -56,28 +65,55 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
+    assert not (args.multi and args.witness), "--multi and --witness are exclusive"
+    K = max(0, args.multi)
+    n_points = args.batch * max(1, K)
     rng = random.Random(7)
-    n_unique = min(args.batch, args.unique)
+    n_unique = min(n_points, args.unique)
     g1s = [o.g1_mul(c.G1_GEN, rng.randrange(1, c.R_SCALAR)) for _ in range(n_unique)]
     g2s = [
         o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), rng.randrange(1, c.R_SCALAR))
         for _ in range(n_unique)
     ]
-    reps = -(-args.batch // n_unique)
-    g1s = (g1s * reps)[: args.batch]
-    g2s = (g2s * reps)[: args.batch]
+    reps = -(-n_points // n_unique)
+    g1s = (g1s * reps)[:n_points]
+    g2s = (g2s * reps)[:n_points]
 
-    p = G1m.g1_from_ints(g1s)
-    q = G2m.g2_from_ints(g2s)
+    if K:
+        # [K, batch] pair layout: instance b holds points K*b .. K*b+K-1
+        p = G1m.g1_from_ints(g1s)
+        q = G2m.g2_from_ints(g2s)
+        import jax.numpy as _jnp
 
-    fn = jax.jit(api.pairing)
+        resh = lambda a: _jnp.moveaxis(
+            a.reshape((args.batch, K) + a.shape[1:]), 0, 1
+        )
+        p = jax.tree.map(resh, p)
+        q = jax.tree.map(resh, q)
+        fn = jax.jit(api.multi_pairing)
+    elif args.witness:
+        from pairing_tpu.witness import trace as W
+
+        p = G1m.g1_from_ints(g1s)
+        q = G2m.g2_from_ints(g2s)
+
+        def witness_fn(p, q):
+            out, tr = W.pairing_witness(p, q)
+            return out, tr["miller"]["f_steps"], tr["final_exp"]["exp_trace_rows"]
+
+        fn = jax.jit(witness_fn)
+    else:
+        p = G1m.g1_from_ints(g1s)
+        q = G2m.g2_from_ints(g2s)
+        fn = jax.jit(api.pairing)
 
     def sync(res):
-        # force full device completion: fetch one limb to host (the axon
-        # relay's block_until_ready can return before remote execution
-        # finishes, so a host fetch is the reliable barrier)
+        # force full device completion: fetch one device-sliced scalar to
+        # host (the axon relay's block_until_ready can return before
+        # remote execution finishes, so a host fetch is the reliable
+        # barrier; slicing on device keeps the fetch tiny)
         jax.block_until_ready(res)
-        return np.asarray(res.s[0].c0.limbs[..., 0]).sum()
+        return np.asarray(jax.tree.leaves(res)[0].reshape(-1)[0])
 
     import numpy as np
 
@@ -112,13 +148,38 @@ def main() -> None:
             sync(fn(p, q))
         print(f"# profiler trace written to {args.profile}", file=sys.stderr)
     best = min(pipe_times)
-    pairings_per_sec = args.batch / best
+    pairings_per_sec = n_points / best
+    if K:
+        print(
+            f"# multi K={K}: {args.batch} products/batch, "
+            f"{n_points} pairings/batch",
+            file=sys.stderr,
+        )
     print(f"# per-batch latency: {[f'{t:.3f}' for t in times]}",
           file=sys.stderr)
     print(f"# pipelined (depth {depth}): {[f'{t:.3f}' for t in pipe_times]}",
           file=sys.stderr)
 
-    if args.validate != 0:
+    if args.witness:
+        out, f_steps, exp_rows = out
+    if args.validate != 0 and K:
+        # each product instance i consumes points K*i .. K*i+K-1; check
+        # the instances covering every unique point at least once
+        nv = (
+            -(-n_unique // K)
+            if args.validate < 0
+            else min(args.validate, args.batch)
+        )
+        got = F12.fq12_to_int_coeffs(out)
+        for i in range(nv):
+            pairs = [(g1s[K * i + j], g2s[K * i + j]) for j in range(K)]
+            expect = o.final_exp(o.multi_miller_loop(pairs))
+            assert got[i] == expect, f"instance {i} mismatch vs oracle"
+        print(
+            f"# validated {nv} K={K} product instances vs oracle",
+            file=sys.stderr,
+        )
+    elif args.validate != 0:
         # every unique input appears in the first n_unique lanes; checking
         # them all (plus the tiled copies' bit-identity) covers the batch
         nv = n_unique if args.validate < 0 else min(args.validate, args.batch)
@@ -131,12 +192,14 @@ def main() -> None:
         print(f"# validated {nv} unique lanes (+{args.batch-nv} tiled) vs oracle",
               file=sys.stderr)
 
+    metric = "witnesses_per_sec_per_chip" if args.witness else "pairings_per_sec_per_chip"
+    unit = "witnesses/s" if args.witness else "pairings/s"
     print(
         json.dumps(
             {
-                "metric": "pairings_per_sec_per_chip",
+                "metric": metric,
                 "value": round(pairings_per_sec, 2),
-                "unit": "pairings/s",
+                "unit": unit,
                 "vs_baseline": round(pairings_per_sec / BASELINE_PER_CHIP, 4),
             }
         )

@@ -113,8 +113,10 @@ def fq12_limbs_to_int_coeffs(arr):
     Uses the native C codec (pairing_tpu.native) when available — packs
     each canonical row to 32 bytes in C and converts with
     ``int.from_bytes`` (measured ~4x the numpy object-array path:
-    1.5M rows/s vs 0.36M)."""
+    1.5M rows/s vs 0.36M). Both backends reduce mod p, so redundant
+    (out-of-contract) limb rows yield identical residues either way."""
     from .. import native
+    from ..utils.bn254 import P as _P
 
     a = np.asarray(arr)
     if native.available():
@@ -124,7 +126,7 @@ def fq12_limbs_to_int_coeffs(arr):
     weights = np.array(
         [1 << (F.RADIX_BITS * i) for i in range(F.NLIMBS)], dtype=object
     )
-    vals = (a * weights).sum(axis=-1)
+    vals = (a * weights).sum(axis=-1) % _P
     return [list(row) for row in vals.reshape(-1, 12)]
 
 

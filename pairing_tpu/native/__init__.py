@@ -53,18 +53,24 @@ def _build() -> Optional[str]:
     src_mtime = os.path.getmtime(_SRC)
     if os.path.exists(so) and os.path.getmtime(so) >= src_mtime:
         return so
+    # Unique temp name per process: concurrent builders (pytest-xdist,
+    # multi-host launch) must not interleave compiler output into one
+    # .tmp; os.replace then publishes each finished object atomically.
+    tmp = f"{so}.tmp.{os.getpid()}"
     for cc in ("cc", "gcc", "clang", "g++"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", so + ".tmp", _SRC],
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
                 capture_output=True,
                 timeout=120,
             )
         except (OSError, subprocess.TimeoutExpired):
             continue
         if r.returncode == 0:
-            os.replace(so + ".tmp", so)
+            os.replace(tmp, so)
             return so
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return None
 
 

@@ -53,10 +53,12 @@ static void lc_redc(uint64_t *t, uint32_t *out) {
         d[k] = v & MASK;
         carry = v >> RADIX_BITS;
     }
-    /* value < 3p < 2^256: conditional subtract p until < p (<= 2 times;
-     * inputs are bounded by R*p so REDC yields < 2p, with one extra round
-     * of headroom for the x*(R mod p) canonicalization path) */
-    for (int rep = 0; rep < 3; rep++) {
+    /* Complete reduction: conditional subtract p until < p.  Inputs up
+     * to 32*R*p (covers lc_canon_one's from_mont=0 path on settled limbs
+     * as large as ~2^18: value < 32*R, times R1 < p) leave the REDC
+     * quotient below 33p, so 40 rounds is a strict upper bound; the loop
+     * breaks as soon as d < p. */
+    for (int rep = 0; rep < 40; rep++) {
         int ge = 0; /* d >= p ? */
         if (d[NLIMBS] | d[NLIMBS + 1]) {
             ge = 1;
@@ -107,7 +109,8 @@ static void lc_mul_wide(const uint64_t *a, const uint64_t *b, uint64_t *t) {
             t[i + j] += a[i] * b[j];
 }
 
-/* Canonicalize one settled limb vector (int32 digits, each <= ~2^17).
+/* Canonicalize one settled limb vector (int32 digits, each <= ~2^18,
+ * i.e. value < 32*R — the lc_redc reduction loop's proven budget).
  * from_mont: input is x*R mod p (device Montgomery domain) -> output x.
  * else:      input is a redundant plain value                -> x mod p.
  */

@@ -29,7 +29,6 @@ def force_backend(name: Optional[str]) -> None:
     """Force 'xla' or 'pallas' (None = auto). For tests/benchmarks."""
     global _FORCED
     assert name in (None, "xla", "pallas")
-    global _FORCED
     _FORCED = name
 
 

@@ -34,7 +34,17 @@ def pairing(p: G1, q: G2) -> Fq12:
 
 def multi_pairing(ps: G1, qs: G2) -> Fq12:
     """prod_k e(P_k, Q_k) with one shared final exponentiation
-    (Groth16-verification shape); leading axis of ps/qs is the pair axis."""
+    (Groth16-verification shape, BASELINE config 2); leading axis of
+    ps/qs is the pair axis K. On the Pallas backend the Miller product
+    stays kernel-layout resident straight into the final-exp chain."""
+    from ..ops import dispatch
+
+    if dispatch.use_pallas():
+        from ..ops.fq12_kernels import from_kernel_layout
+        from .miller_loop import multi_miller_loop_k
+
+        f_arr, batch, pad = multi_miller_loop_k(qs, ps)
+        return from_kernel_layout(final_exp_k(f_arr), batch, pad)
     return final_exp(multi_miller_loop(qs, ps))
 
 

@@ -439,8 +439,6 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
 
     # Phase D: f-accumulation — fused Pallas kernel on TPU, lax.scan
     # fallback elsewhere / when tracing witnesses.
-    from ..ops import dispatch
-
     flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
     # Fused-kernel path for batches the resident pipeline declined (ragged
     # multi-pair lane splits) and for witness tracing (collect streams the
@@ -594,6 +592,12 @@ def miller_loop_k(q: G2, p: G1):
     """Kernel-layout Miller loop (Pallas backend): returns
     ``(f_arr, batch_shape, pad)`` for chaining with final_exp_k."""
     return _miller_core(_add_pairs_axis(q), _add_pairs_axis(p), keep_k=True)
+
+
+def multi_miller_loop_k(qs: G2, ps: G1):
+    """Kernel-layout multi-Miller product (Pallas backend): returns
+    ``(f_arr, batch_shape, pad)`` for chaining with final_exp_k."""
+    return _miller_core(qs, ps, keep_k=True)
 
 
 def multi_miller_loop(qs: G2, ps: G1) -> Fq12:

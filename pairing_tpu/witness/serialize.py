@@ -42,6 +42,92 @@ Entries
   exp_rows             [3, 64, B, 12, L]  x-power ladder rows (C12 shape)
   exp_outs             [3, B, 12, L]   mx, mx2, mx3
   final_out            [B, 12, L]      pairing result
+
+Constraint schema (what a downstream AIR enforces per transition)
+------------------------------------------------------------------
+This section is the circuit-side contract — the polynomial identities a
+starky-style AIR (or any non-native-arithmetic constraint system) checks
+over these columns, mirroring what `pairing_circuit` emits as plonky2
+gates (miller_loop_target.rs:132-311, final_exp_target.rs:65-150) and
+what `fq12_exp_u64_circuit`'s AIR enforces per row
+(final_exp_target.rs:89-147). `witness/verify.py` is the executable
+reference implementation of every rule below (the `connect` analogue).
+
+Value semantics: every limb vector encodes value = Σ limbs[i]·2^13i,
+interpreted mod p in the Montgomery domain (witness value v stands for
+v·R⁻¹ mod p). All identities below are over Fq12/Fq2 VALUES mod p; a
+limb-level AIR realizes each product a·b = c as the non-native
+Montgomery-mul relation a·b = c·R + q·p with range-checked limbs — the
+same gadget family as the reference's FqTarget mul (C9). Montgomery form
+is multiplicative, so the identities are form-invariant: with all three
+operands in Montgomery form, `mont_mul(a, b) = a∘b` represents the
+product exactly.
+
+Notation: d_t = meta.naf[63-t] (the Miller digit of step t, t = 0..63),
+T_t = r_affine[t] (loop-top state), D_t = r_affine[64+t] (post-double
+state), E = r_affine[128] (end), S = r_affine[129] (end+Q1),
+ℓ034(c) / ℓ235(c) = the sparse Fq12 with slots {0,3,4} / {2,3,5} taken
+from a 3×Fq2 coefficient row c.
+
+1. Point-trajectory transitions (G2 doubling/mixed-add in affine):
+   * doubling    D_t = 2·T_t:  with λ_t = 3·T_t.x² / (2·T_t.y):
+       (a) λ_t·(2·T_t.y) = 3·T_t.x²            [one Fq2 mul identity]
+       (b) D_t.x = λ_t² − 2·T_t.x
+       (c) D_t.y = λ_t·(T_t.x − D_t.x) − T_t.y
+     (the AIR introduces λ_t as an auxiliary column; verify.py
+     recomputes the double directly instead.)
+   * addition    T_{t+1} = D_t + sgn(d_t)·Q when d_t ≠ 0, else
+     T_{t+1} = D_t: same three identities with the chord slope
+     μ_t = (D_t.y − sgn(d_t)·Q.y) / (D_t.x − Q.x).
+   * boundary    T_0 = Q (the G2 input).
+   * epilogue    Q1 = twisted_frobenius(Q), −Q2 = neg_twisted_frobenius
+     (Q1) (coefficient-wise Frobenius constants, miller_loop_native.rs:
+     298-312); S = E + Q1 (mixed add, same identities as above; E and S
+     are carried in the SAME normalized stack, so both are affine).
+
+2. Tangent/chord line coefficients (sparse_line_function_{equal,
+   unequal}_native, miller_loop_native.rs:10-44):
+   * tg_lines[t] = (c0, c3, c4) with, at R = T_t, P = (p_x, p_y):
+       c0 = ξ·(3·R.x³ − 2·R.y²)     [ξ = 9 + u]
+       c3 = 2·R.y·p_y               [Fq2 × Fq scalar]
+       c4 = −3·R.x²·p_x
+   * ch_lines[j] (step t = meta.add_steps[j]) = (c2, c3, c5) with
+     A = D_t, B = sgn(d_t)·Q:
+       c2 = (B.x − A.x)·p_y
+       c3 = (A.y − B.y)·p_x
+       c5 = A.x·B.y − B.x·A.y
+   * ep_lines[0] likewise for (A, B) = (E, Q1); ep_lines[1] for
+     (A, B) = (S, −Q2).
+
+3. Miller accumulator transitions (f_steps; miller_loop_native.rs:
+   151-173 with the f² folded into step 0 against f_{-1} = 1):
+       f_0 = ℓ034(tg_lines[0]) · ℓ235(ch_lines[j(0)])^{[d_0≠0]}
+       f_t = f_{t-1}² · ℓ034(tg_lines[t]) · ℓ235(ch_lines[j(t)])^{[d_t≠0]}
+     where j(t) = index of t in meta.add_steps. For K > 1 (multi-
+     pairing) ONE squaring is shared: f_t = f_{t-1}² · Π_k ℓ034^k ·
+     Π_k ℓ235^k (miller_loop_native.rs:239).
+       miller_out = f_63 · ℓ235(ep_lines[0])·…·ℓ235(ep_lines[1])
+     (per pair, in pair order — the two Frobenius lines,
+     miller_loop_native.rs:274-280).
+
+4. Easy part (final_exp_native.rs:195-206): introduce the inverse as a
+   witness column i with m·i = 1 (m = miller_out); then
+       easy_out = frob²(conj(m)·i) · (conj(m)·i)
+   conj is slot-sign flips (free), frob² is 6 constant Fq2 muls.
+
+5. Exp-offload rows (the C12 AIR, final_exp_target.rs:89-147): for each
+   of the 3 ladders r ∈ {0,1,2} with base x_r ∈ {easy_out, exp_outs[0],
+   exp_outs[1]} and MSB-first bits b_s = exp_bits[63-s]:
+       row_0 = x_r^{b_0}                      (r_{-1} = 1 start)
+       row_s = row_{s-1}² · x_r^{b_s}         (s = 1..63)
+       exp_outs[r] = offset · row_63          (offset = 1 here)
+   The b_s are 0/1-constrained and their recomposition Σ b_i·2^i =
+   meta.bn_x is a public-input check.
+
+6. Hard part (final_exp_native.rs:130-169): the 13-mul/4-conj/3-frob
+   accumulation chain from {easy_out, exp_outs, frob powers} to
+   final_out is a fixed dataflow of dense Fq12 muls — each a plain
+   product constraint; verify.py replays it term-for-term.
 """
 
 from __future__ import annotations

@@ -1,19 +1,24 @@
-"""Per-grid-step cost probes for the fused kernels (round-2 diagnosis).
+"""Per-grid-step cost probes for the fused kernels (v2 cores).
 
-Measures marginal cost per grid step by comparing N=8 vs N=64 step
-variants of stripped-down kernels (slope cancels relay/dispatch fixed
-costs):
+Measures the marginal device cost of one in-kernel op by comparing N=8 vs
+N=64 step variants of stripped-down kernels (the slope cancels the fixed
+relay/dispatch cost that poisons single-shot measurements):
 
   noop   — per-step streamed line block, body = 1 tile add
-  mul    — + one dense Fq12 _mul_core (fori term loop, dynamic gathers)
-  when0  — + pl.when(flag==1) sparse mul, flags ALL ZERO
+  mul    — + one dense Fq12 _mul_core_v2 (63 wide muls, Karatsuba)
+  sq     — dense Fq12 square _sq_core_v2 (42 wide muls)
+  sparse — 034 sparse product _sparse_core_v2 (54 wide muls)
+  when0  — pl.when(flag==1)-gated sparse mul, flags ALL ZERO
   when1  — same, flags ALL ONE
-  cyc    — Granger-Scott cyclotomic square only
+  cyc    — Granger-Scott cyclotomic square (k_cyc_sq, 12 reduces)
 
 Interpretation:
   * noop slope >> 0        -> grid pipeline overhead dominates
-  * when0 ~= when1 slope   -> pl.when pays both arms
-  * mul slope vs isolated dense-mul time -> fori/gather efficiency
+  * when0 ~= when1 slope   -> pl.when pays both arms (it should not)
+  * per-op slopes are the roofline numerators: PERF.md divides them by
+    the exact wide-mul/MAC counts from ops/kwide to get SoL utilization.
+
+Usage: python probe_bench.py [probe ...]   (default: all)
 """
 
 import sys
@@ -31,8 +36,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from pairing_tpu.fields.fp import NLIMBS
 from pairing_tpu.ops import kernel_core as K
-from pairing_tpu.ops.fq12_kernels import _mul_core, _seg_tables, _VocabRef
-from pairing_tpu.ops.fused_kernels import DENSE, S034, _copy_f, _ref_get, _ref_out
+from pairing_tpu.ops.fq12_kernels import (
+    _mul_core_v2,
+    _sparse_core_v2,
+    _sq_core_v2,
+)
+from pairing_tpu.ops.fused_kernels import S034, _copy_f, _ref_get, _ref_out
 
 R = 16  # 2048 lanes
 
@@ -51,69 +60,102 @@ def _out_spec():
     )
 
 
+def _seed_f(fA, s_ref):
+    for c in range(12):
+        for l in range(NLIMBS):
+            fA[c, l] = s_ref[0, c % 6, l]
+
+
+def _emit(out_ref, fA):
+    for c in range(12):
+        for l in range(NLIMBS):
+            out_ref[c, l] = fA[c, l]
+
+
 def _noop_kernel(n_steps, s_ref, out_ref, fA):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        for c in range(12):
-            for l in range(NLIMBS):
-                fA[c, l] = s_ref[0, c % 6, l]
+        _seed_f(fA, s_ref)
 
     fA[0, 0] = fA[0, 0] + s_ref[0, 0, 0]
 
     @pl.when(t == n_steps - 1)
     def _():
-        for c in range(12):
-            for l in range(NLIMBS):
-                out_ref[c, l] = fA[c, l]
+        _emit(out_ref, fA)
 
 
-def _mul_kernel(n_steps, with_when, dl_ref, dr_ref, sl_ref, sr_ref, flag_ref,
-                s_ref, out_ref, fA, fB, vocab, rvocab):
+def _stream_b_get(s_ref):
+    return lambda c, l: s_ref[0, c % 6, l]
+
+
+def _mul_kernel(n_steps, s_ref, out_ref, fA, fB):
     t = pl.program_id(1)
-    zero = s_ref[0, 0, 0] * 0
 
     @pl.when(t == 0)
     def _():
-        for c in range(12):
-            for l in range(NLIMBS):
-                fA[c, l] = s_ref[0, c % 6, l]
+        _seed_f(fA, s_ref)
 
-    _mul_core(DENSE, dl_ref, dr_ref, _ref_get(fA),
-              lambda jj, cc, l: s_ref[0, (2 * jj + cc) % 6, l],
-              _ref_out(fB), _VocabRef(vocab), _VocabRef(rvocab), zero)
+    _mul_core_v2(_ref_get(fA), _stream_b_get(s_ref), _ref_out(fB))
+    _copy_f(fA, fB)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        _emit(out_ref, fA)
+
+
+def _sq_kernel(n_steps, s_ref, out_ref, fA, fB):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        _seed_f(fA, s_ref)
+
+    _sq_core_v2(_ref_get(fA), _ref_out(fB))
+    _copy_f(fA, fB)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        _emit(out_ref, fA)
+
+
+def _sparse_kernel(n_steps, with_when, flag_ref, s_ref, out_ref, fA, fB):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        _seed_f(fA, s_ref)
+
+    def run(dst):
+        _sparse_core_v2(
+            S034, _ref_get(fA),
+            lambda jj, cc, l: s_ref[0, (2 * jj + cc) % 6, l],
+            _ref_out(dst),
+        )
 
     if with_when:
         flag = flag_ref[t]
 
         @pl.when(flag == 1)
         def _():
-            _mul_core(S034, sl_ref, sr_ref, _ref_get(fB),
-                      lambda jj, cc, l: s_ref[0, (2 * jj + cc) % 6, l],
-                      _ref_out(fA), _VocabRef(vocab), _VocabRef(rvocab), zero)
-
-        @pl.when(flag == 0)
-        def _():
+            run(fB)
             _copy_f(fA, fB)
     else:
+        run(fB)
         _copy_f(fA, fB)
 
     @pl.when(t == n_steps - 1)
     def _():
-        for c in range(12):
-            for l in range(NLIMBS):
-                out_ref[c, l] = fA[c, l]
+        _emit(out_ref, fA)
 
 
-def _cyc_kernel(n_steps, s_ref, out_ref, fA, fB):
+def _cyc_kernel(n_steps, s_ref, out_ref, fA):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        for c in range(12):
-            for l in range(NLIMBS):
-                fA[c, l] = s_ref[0, c % 6, l]
+        _seed_f(fA, s_ref)
 
     slots_in = [
         (
@@ -130,33 +172,34 @@ def _cyc_kernel(n_steps, s_ref, out_ref, fA, fB):
 
     @pl.when(t == n_steps - 1)
     def _():
-        for c in range(12):
-            for l in range(NLIMBS):
-                out_ref[c, l] = fA[c, l]
+        _emit(out_ref, fA)
 
 
 def build(kind, n_steps, flags_val=0):
-    dl, dr, _ = _seg_tables(DENSE)
-    sl, sr, _ = _seg_tables(S034)
-    flags = np.full((n_steps,), flags_val, np.int32)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     scr12 = lambda: pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32)
-
+    consts = ()
     if kind == "noop":
-        kern, in_specs, consts, scratch = (
-            partial(_noop_kernel, n_steps), [_stream_spec()], (), [scr12()])
-    elif kind in ("mul", "when"):
-        kern = partial(_mul_kernel, n_steps, kind == "when")
-        in_specs = [smem()] * 5 + [_stream_spec()]
-        consts = (jnp.asarray(dl), jnp.asarray(dr), jnp.asarray(sl),
-                  jnp.asarray(sr), jnp.asarray(flags))
-        scratch = [scr12(), scr12(),
-                   pltpu.VMEM((24, NLIMBS, 8, 128), jnp.int32),
-                   pltpu.VMEM((18, NLIMBS, 8, 128), jnp.int32)]
-    elif kind == "cyc":
-        kern, in_specs, consts, scratch = (
-            partial(_cyc_kernel, n_steps), [_stream_spec()], (),
+        kern, in_specs, scratch = (
+            partial(_noop_kernel, n_steps), [_stream_spec()], [scr12()])
+    elif kind == "mul":
+        kern, in_specs, scratch = (
+            partial(_mul_kernel, n_steps), [_stream_spec()],
             [scr12(), scr12()])
+    elif kind == "sq":
+        kern, in_specs, scratch = (
+            partial(_sq_kernel, n_steps), [_stream_spec()],
+            [scr12(), scr12()])
+    elif kind in ("sparse", "when"):
+        kern = partial(_sparse_kernel, n_steps, kind == "when")
+        in_specs = [smem(), _stream_spec()]
+        consts = (jnp.asarray(np.full((n_steps,), flags_val, np.int32)),)
+        scratch = [scr12(), scr12()]
+    elif kind == "cyc":
+        kern, in_specs, scratch = (
+            partial(_cyc_kernel, n_steps), [_stream_spec()], [scr12()])
+    else:
+        raise SystemExit(f"unknown probe {kind}")
 
     def fn(stream):
         return pl.pallas_call(
@@ -185,26 +228,36 @@ def timed(fn, stream, reps=6):
     return best
 
 
+ALL = ["noop", "mul", "sq", "sparse", "when0", "when1", "cyc"]
+
+
 def main():
-    which = sys.argv[1:] or ["noop", "mul", "when0", "when1", "cyc"]
+    which = sys.argv[1:] or ALL
     rng = np.random.RandomState(0)
     results = {}
     for name in which:
-        kind, fv = (name[:-1], int(name[-1])) if name.startswith("when") else (name, 0)
+        kind, fv = (
+            (name[:-1], int(name[-1])) if name.startswith("when") else (name, 0)
+        )
         ts = {}
         for n in (8, 64):
             stream = jnp.asarray(
-                rng.randint(0, 1 << 13, size=(n, 6, NLIMBS, R, 128)).astype(np.int32))
+                rng.randint(0, 1 << 13, size=(n, 6, NLIMBS, R, 128)).astype(
+                    np.int32
+                )
+            )
             t0 = time.time()
             fn = build(kind, n, fv)
             t = timed(fn, stream)
             ts[n] = t
-            print(f"{name} N={n}: {t*1e3:.2f}ms (build+compile {time.time()-t0:.0f}s)",
-                  flush=True)
+            print(
+                f"{name} N={n}: {t*1e3:.2f}ms (build+compile {time.time()-t0:.0f}s)",
+                flush=True,
+            )
         slope = (ts[64] - ts[8]) / 56
         results[name] = slope
-        print(f"{name}: slope {slope*1e6:.0f}us/step (grid bt=2)", flush=True)
-    print({k: f"{v*1e6:.0f}us" for k, v in results.items()})
+        print(f"{name}: slope {slope*1e6:.1f}us/step (2048 lanes)", flush=True)
+    print({k: f"{v*1e6:.1f}us" for k, v in results.items()})
 
 
 if __name__ == "__main__":

@@ -90,8 +90,8 @@ def main():
         assert a[0] == a[1] == a[2] == a[3]
 
     def t_multi_k4():
-        # K=4 exercises the pallas K>2 group-split path (partial Miller
-        # accumulators multiplied together)
+        # K=4 exercises the fused kernel's (batch, step, pair) grid with
+        # shared squarings across all four pairs
         K = 4
         g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(K)]
         g2s = [
