@@ -47,8 +47,10 @@ R = 16  # 2048 lanes
 
 
 def _stream_spec():
+    # wraps mod 8 so a long step axis still streams a fresh block per step
+    # without a multi-hundred-MB host array
     return pl.BlockSpec(
-        (1, 6, NLIMBS, 8, 128), lambda bt, t: (t, 0, 0, bt, 0),
+        (1, 6, NLIMBS, 8, 128), lambda bt, t: (t % 8, 0, 0, bt, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -214,7 +216,7 @@ def build(kind, n_steps, flags_val=0):
     return jax.jit(fn)
 
 
-def timed(fn, stream, reps=6):
+def timed(fn, stream, reps=10):
     out = fn(stream)
     jax.block_until_ready(out)
     np.asarray(out[0, 0, 0, 0])
@@ -235,14 +237,17 @@ def main():
     which = sys.argv[1:] or ALL
     rng = np.random.RandomState(0)
     results = {}
+    # Wide step contrast: the axon relay adds ~±10 ms of per-call jitter,
+    # so the slope window must dwarf it (504 steps x ~50 us >> jitter).
+    N0, N1 = 8, 512
     for name in which:
         kind, fv = (
             (name[:-1], int(name[-1])) if name.startswith("when") else (name, 0)
         )
         ts = {}
-        for n in (8, 64):
+        for n in (N0, N1):
             stream = jnp.asarray(
-                rng.randint(0, 1 << 13, size=(n, 6, NLIMBS, R, 128)).astype(
+                rng.randint(0, 1 << 13, size=(8, 6, NLIMBS, R, 128)).astype(
                     np.int32
                 )
             )
@@ -254,7 +259,7 @@ def main():
                 f"{name} N={n}: {t*1e3:.2f}ms (build+compile {time.time()-t0:.0f}s)",
                 flush=True,
             )
-        slope = (ts[64] - ts[8]) / 56
+        slope = (ts[N1] - ts[N0]) / (N1 - N0)
         results[name] = slope
         print(f"{name}: slope {slope*1e6:.1f}us/step (2048 lanes)", flush=True)
     print({k: f"{v*1e6:.1f}us" for k, v in results.items()})
