@@ -35,10 +35,9 @@ R_XA, R_YA, R_ZA = 14, 15, 16  # post-add
 NREG = 18
 
 
-@lru_cache(maxsize=None)
-def _step_program() -> np.ndarray:
+def _assemble_step(bx: int, by: int, bz: int) -> Fq2Assembler:
     a = Fq2Assembler(NREG)
-    for r, b in ((R_X, 2 * P), (R_Y, 2 * P), (R_Z, 2 * P),
+    for r, b in ((R_X, bx), (R_Y, by), (R_Z, bz),
                  (R_QX, 2 * P), (R_QY, 2 * P + 2)):
         a.set_bound(r, b)
 
@@ -61,9 +60,6 @@ def _step_program() -> np.ndarray:
     a.sub(R_YD, 13, 10)     # Y3
     a.mul(13, R_Y, R_Z)
     a.scale(R_ZD, 13, 2)    # Z3 = 2YZ
-    a.cap(R_XD)
-    a.cap(R_YD)
-    a.cap(R_ZD)
 
     # --- mixed add: (r3..r5) + (r6, r7) -> (r14..r16)  [madd-2007-bl]
     a.sq(8, R_ZD)           # Z1Z1
@@ -90,10 +86,48 @@ def _step_program() -> np.ndarray:
     a.sq(17, 17)
     a.sub(17, 17, 8)
     a.sub(R_ZA, 17, 11)     # Z3 = (Z+H)^2 - Z1Z1 - HH
-    a.cap(R_XA)
-    a.cap(R_YA)
-    a.cap(R_ZA)
-    return a.table()
+    return a
+
+
+@lru_cache(maxsize=None)
+def _step_program_and_bounds():
+    """Fixed-point assembly of the per-step program WITHOUT output caps.
+
+    The emitted states are redundant Montgomery representatives with
+    value bounds above 2p (the KW layer's budget tolerates this; caps
+    cost one const-mul + Montgomery reduce per component — 6 of them per
+    step were ~22%% of the trajectory kernel). Consumers must use the
+    returned static bounds: ``top`` bounds the loop-top/end states (the
+    per-step select of post-add/post-double), ``dbl`` the post-double
+    stream.
+    """
+    bx = by = bz = 2 * P
+    for _ in range(16):
+        a = _assemble_step(bx, by, bz)
+        nbx = max(a.bound[R_XD], a.bound[R_XA], bx)
+        nby = max(a.bound[R_YD], a.bound[R_YA], by)
+        nbz = max(a.bound[R_ZD], a.bound[R_ZA], bz)
+        if (nbx, nby, nbz) == (bx, by, bz):
+            break
+        bx, by, bz = nbx, nby, nbz
+    else:  # pragma: no cover
+        raise AssertionError("trajectory bound fixed point did not converge")
+    bounds = {
+        "top": (bx, by, bz),
+        "dbl": (a.bound[R_XD], a.bound[R_YD], a.bound[R_ZD]),
+    }
+    return a.table(), bounds
+
+
+def _step_program() -> np.ndarray:
+    return _step_program_and_bounds()[0]
+
+
+def trajectory_bounds():
+    """Static value bounds of trajectory_pallas outputs (see
+    _step_program_and_bounds): {'top': (bx, by, bz), 'dbl': (...)}. The
+    end state carries the 'top' bounds."""
+    return _step_program_and_bounds()[1]
 
 
 def _traj_kernel(n_steps, n_ops, dig_ref, prog_ref, kp_ref, q_ref,

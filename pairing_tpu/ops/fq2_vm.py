@@ -38,6 +38,16 @@ OP_MUL, OP_SQ, OP_ADD, OP_SUB, OP_SCALE, OP_RED, OP_MULW6 = range(7)
 #: k values available to SUB (imm indexes this table)
 SUB_KS = (1, 2, 4, 8, 16, 32, 64, 128)
 
+#: value envelope of MUL/SQ operands. The KW signed-wide layer proves
+#: int32/Montgomery budgets for operand values far beyond 2p (kw_finalize
+#: asserts ~0.99*R*p at trace time; 64p x 128p products use < 2^-4 of
+#: it), so the assembler only inserts weak reductions when a register's
+#: tracked bound exceeds THIS — the old 4p envelope forced a RED (one
+#: const-mul + Montgomery reduce per component, as expensive as the
+#: product itself) before most multiplies: 6 of the trajectory step's 12
+#: REDs were such preps.
+MUL_ENVELOPE = 64 * P
+
 ONE_MONT = [int(x) for x in _const_limbs(R_MOD_P)]
 
 
@@ -73,15 +83,13 @@ class Fq2Assembler:
             self.bound[r] = 2 * P
 
     def mul(self, dst, a, b):
-        # k2_mul negates b.c1 with a 4p offset: operands must be < 4p
-        self._prep_to(a, 4 * P)
-        self._prep_to(b, 4 * P)
+        self._prep_to(a, MUL_ENVELOPE)
+        self._prep_to(b, MUL_ENVELOPE)
         self._emit(OP_MUL, dst, a, b)
         self.bound[dst] = 2 * P
 
     def sq(self, dst, a):
-        # k2_square subtracts with a 4p offset: operand must be < 4p
-        self._prep_to(a, 4 * P)
+        self._prep_to(a, MUL_ENVELOPE)
         self._emit(OP_SQ, dst, a)
         self.bound[dst] = 2 * P
 
@@ -153,13 +161,13 @@ def run_program(prog_ref, n_ops: int, regs, kp_ref):
         def _():
             av = _reg_read(regs, a)
             bv = _reg_read(regs, b)
-            out = K.k2_mul(av, bv)
+            out = K.k2_mul(av, bv, bound=MUL_ENVELOPE)
             _reg_write(regs, dst, out[0], out[1])
 
         @pl.when(op == OP_SQ)
         def _():
             av = _reg_read(regs, a)
-            out = K.k2_square(av)
+            out = K.k2_square_w(av, bound=MUL_ENVELOPE)
             _reg_write(regs, dst, out[0], out[1])
 
         @pl.when(op == OP_ADD)

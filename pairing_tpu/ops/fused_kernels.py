@@ -81,33 +81,43 @@ def _miller_kernel(n_pairs, n_steps, collect, flag_ref,
     miller_loop_native.rs:239), then this pair's tangent/chord sparse
     multiplies. VMEM stays constant in K (per-pair line blocks stream).
     Each (t, kc) invocation starts and ends with the state in fA.
+
+    flag semantics per step: 0 = square + tangent; 1 = square + tangent
+    + chord; 2 = epilogue chord only (no squaring, no tangent — the two
+    Frobenius-line multiplies, miller_loop_native.rs:274-280, fused in
+    as trailing steps so no host-side launches remain).
     """
     t = pl.program_id(1)
     kc = pl.program_id(2)
     zero = tg_ref[0, 0, 0] * 0
+    flag = flag_ref[t]
 
     @pl.when((t == 0) & (kc == 0))
     def _():
         _write_one(fA, zero)
 
-    # kc == 0: f <- f^2 into fB; later pairs: carry fA into fB
-    @pl.when(kc == 0)
+    # kc == 0 on a loop step: f <- f^2 into fB; otherwise carry fA
+    @pl.when((kc == 0) & (flag != 2))
     def _():
         _sq_core_v2(_ref_get(fA), _ref_out(fB))
 
-    @pl.when(kc != 0)
+    @pl.when((kc != 0) | (flag == 2))
     def _():
         _copy_f(fB, fA)
 
-    # this pair's tangent multiply (fB -> fC)
-    _sparse_core_v2(S034, _ref_get(fB),
-                    lambda jj, cc, l: tg_ref[0, 2 * jj + cc, l],
-                    _ref_out(fC))
+    # this pair's tangent multiply (fB -> fC); skipped on epilogue steps
+    @pl.when(flag != 2)
+    def _():
+        _sparse_core_v2(S034, _ref_get(fB),
+                        lambda jj, cc, l: tg_ref[0, 2 * jj + cc, l],
+                        _ref_out(fC))
 
-    # chord multiply only on digit steps (fC -> fA), else carry fC
-    flag = flag_ref[t]
+    @pl.when(flag == 2)
+    def _():
+        _copy_f(fC, fB)
 
-    @pl.when(flag == 1)
+    # chord multiply on digit/epilogue steps (fC -> fA), else carry fC
+    @pl.when(flag != 0)
     def _():
         _sparse_core_v2(S235, _ref_get(fC),
                         lambda jj, cc, l: ch_ref[0, 2 * jj + cc, l],
@@ -135,17 +145,22 @@ def _miller_kernel(n_pairs, n_steps, collect, flag_ref,
 def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
                     flags: np.ndarray, n_pairs: int,
                     interpret=None, collect: bool = False):
-    """Run the 64-step multi-pair f-accumulation (any K >= 1).
+    """Run the multi-pair f-accumulation (any K >= 1).
 
     tg_arr/ch_arr: [steps, n_pairs*6, NLIMBS, R, 128] line stacks
     (kernel layout, pair-major components); flags: int32 [steps]
-    (1 = chord step). Returns f in kernel layout [12, NLIMBS, R, 128];
-    with ``collect`` also the per-step accumulator stream
-    [steps, 12, NLIMBS, R, 128] (the witness path's f_steps,
+    (0 = double step, 1 = chord step, 2 = fused epilogue chord-only
+    step — see _miller_kernel). Returns f in kernel layout
+    [12, NLIMBS, R, 128]; with ``collect`` also the per-step accumulator
+    stream [steps, 12, NLIMBS, R, 128] (the witness path's f_steps,
     miller_loop_target.rs:132-311) — production runs keep collect off to
     skip the per-step HBM writeback.
     """
     from .jit_cache import cached_jit
+
+    assert not (collect and any(int(f) == 2 for f in flags)), (
+        "witness collection runs the 64-step schedule (no fused epilogue)"
+    )
 
     if interpret is None:
         from .fq12_kernels import on_tpu

@@ -345,17 +345,27 @@ def k_mul_wide_1r(a: Sequence, b: Sequence) -> List:
 MUL_1R_BOUND = MASK + ((NLIMBS * (RADIX + 1) * (RADIX + 1)) >> RADIX_BITS)
 
 
-def k2_mul(a, b):
+def k2_mul(a, b, bound: int = 4 * P):
     # Karatsuba via the KW signed-wide layer: 3 once-carried products
     # (m0 = a0 b0, m1 = a1 b1, m2 = (a0+a1)(b0+b1)) with c0 = m0 - m1 and
     # c1 = m2 - m0 - m1; kw_finalize adds the mod-p offset and validates
-    # the int32/Montgomery budgets exactly. Operands: value < 4p (the VM
-    # assembler's envelope), limbs settled.
+    # the int32/Montgomery budgets exactly. Operands: value < ``bound``
+    # (kw_finalize asserts the Montgomery budget at trace time — bounds
+    # up to a few hundred p are fine), limbs settled.
     from .kwide import K2, k2w_mul, kw2_finalize
 
-    a2 = K2(list(a[0]), list(a[1]), 4 * P)
-    b2 = K2(list(b[0]), list(b[1]), 4 * P)
+    a2 = K2(list(a[0]), list(a[1]), bound)
+    b2 = K2(list(b[0]), list(b[1]), bound)
     return kw2_finalize(k2w_mul(a2, b2))
+
+
+def k2_square_w(a, bound: int = 4 * P):
+    """Fq2 square via the KW layer with an explicit value bound (the
+    mod-p subtraction offset scales with ``bound``, unlike k2_square's
+    fixed 4p)."""
+    from .kwide import K2, k2w_sq, kw2_finalize
+
+    return kw2_finalize(k2w_sq(K2(list(a[0]), list(a[1]), bound)))
 
 
 def k2_add(a, b):

@@ -50,11 +50,20 @@ NREG = 22
 
 
 @lru_cache(maxsize=None)
-def _line_program():
-    """Returns (prog_table, n_ops_tangent, n_ops_full)."""
+def _line_program(state_bounds=None):
+    """Returns (prog_table, n_ops_tangent, n_ops_full).
+
+    ``state_bounds``: ((bx_top, by_top), (bx_dbl, by_dbl)) value bounds of
+    the trajectory X/Y inputs (redundant representatives from
+    curve_kernels.trajectory_bounds); None -> the 2p envelope."""
+    (bxt, byt), (bxd, byd) = state_bounds or ((2 * P, 2 * P), (2 * P, 2 * P))
     a = Fq2Assembler(NREG)
-    for r in (R_XT, R_YT, R_ZIT, R_XD, R_YD, R_ZID, R_PX, R_PY, R_QX):
-        a.set_bound(r, 2 * P)
+    for r, b in (
+        (R_XT, bxt), (R_YT, byt), (R_ZIT, 2 * P),
+        (R_XD, bxd), (R_YD, byd), (R_ZID, 2 * P),
+        (R_PX, 2 * P), (R_PY, 2 * P), (R_QX, 2 * P),
+    ):
+        a.set_bound(r, b)
     a.set_bound(R_QY, 2 * P + 2)  # may be a negation (2p - y)
     a.set_bound(R_ZERO, 1)
 
@@ -141,7 +150,8 @@ def _lines_kernel(n_ops_ref, prog_ref, kp_ref, dig_ref,
                 ch_ref[0, 2 * j + c, l] = regs[r, c, l]
 
 
-def lines_pallas(tops, dbls, zinv, pq, digits: np.ndarray, interpret=None):
+def lines_pallas(tops, dbls, zinv, pq, digits: np.ndarray, interpret=None,
+                 state_bounds=None):
     """Evaluate all tangent + chord lines over the trajectory streams.
 
     tops/dbls: [steps, 6, L, R, 128] Jacobian streams (X, Y, Z rows; Z
@@ -156,7 +166,7 @@ def lines_pallas(tops, dbls, zinv, pq, digits: np.ndarray, interpret=None):
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
-    prog, n_tan, n_full = _line_program()
+    prog, n_tan, n_full = _line_program(state_bounds)
     n_steps = len(digits)
     nrows = tops.shape[3]
     assert nrows % 8 == 0

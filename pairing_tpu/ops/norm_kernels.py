@@ -47,7 +47,7 @@ def _write2_at(ref, i0, v):
         ref[i0, 1, l] = v[1][l]
 
 
-def _fwd_kernel(n, z_ref, prefix_ref, total_ref, carry):
+def _fwd_kernel(n, z_bound, z_ref, prefix_ref, total_ref, carry):
     t = pl.program_id(1)
     zero = z_ref[0, 0, 0] * 0
 
@@ -60,7 +60,7 @@ def _fwd_kernel(n, z_ref, prefix_ref, total_ref, carry):
     c = _read2(carry)
     _write2_at(prefix_ref, 0, c)
     z = _read2_at(z_ref, 0)
-    nc = K.k2_mul(c, z)
+    nc = K.k2_mul(c, z, bound=z_bound)
     _write2(carry, nc)
 
     @pl.when(t == n - 1)
@@ -71,7 +71,7 @@ def _fwd_kernel(n, z_ref, prefix_ref, total_ref, carry):
             total_ref[1, l] = v[1][l]
 
 
-def _bwd_kernel(n, z_ref, prefix_ref, tinv_ref, zinv_ref, carry):
+def _bwd_kernel(n, z_bound, z_ref, prefix_ref, tinv_ref, zinv_ref, carry):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -84,17 +84,24 @@ def _bwd_kernel(n, z_ref, prefix_ref, tinv_ref, zinv_ref, carry):
     pre = _read2_at(prefix_ref, 0)
     _write2_at(zinv_ref, 0, K.k2_mul(c, pre))
     z = _read2_at(z_ref, 0)
-    _write2(carry, K.k2_mul(c, z))
+    _write2(carry, K.k2_mul(c, z, bound=z_bound))
 
 
-def prefix_products_pallas(z_arr: jnp.ndarray, interpret=None):
+def prefix_products_pallas(z_arr: jnp.ndarray, interpret=None,
+                           z_bound: int = 0):
     """z_arr: [N, 2, NLIMBS, R, 128] Fq2 stack -> (prefix [N,...], total).
 
-    prefix[i] = prod z[0..i-1] (prefix[0] = 1)."""
+    prefix[i] = prod z[0..i-1] (prefix[0] = 1). ``z_bound``: static value
+    bound of the z entries (0 -> the standard 4p envelope); redundant
+    trajectory states (see curve_kernels.trajectory_bounds) pass theirs.
+    """
     if interpret is None:
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
+    from ..utils.bn254 import P as _P
+
+    z_bound = z_bound or 4 * _P
     n = z_arr.shape[0]
     nrows = z_arr.shape[3]
     grid = (nrows // 8, n)
@@ -107,7 +114,7 @@ def prefix_products_pallas(z_arr: jnp.ndarray, interpret=None):
         memory_space=pltpu.VMEM,
     )
     prefix, total = pl.pallas_call(
-        partial(_fwd_kernel, n),
+        partial(_fwd_kernel, n, z_bound),
         out_shape=(
             jax.ShapeDtypeStruct(z_arr.shape, jnp.int32),
             jax.ShapeDtypeStruct((2, NLIMBS, nrows, 128), jnp.int32),
@@ -122,7 +129,8 @@ def prefix_products_pallas(z_arr: jnp.ndarray, interpret=None):
 
 
 def running_inverse_pallas(
-    z_arr: jnp.ndarray, prefix: jnp.ndarray, tinv: jnp.ndarray, interpret=None
+    z_arr: jnp.ndarray, prefix: jnp.ndarray, tinv: jnp.ndarray,
+    interpret=None, z_bound: int = 0
 ):
     """Backward pass: zinv[i] = inv(z[0..N-1] prod) * suffix... i.e. the
     per-element inverses given total-inverse ``tinv``."""
@@ -130,6 +138,9 @@ def running_inverse_pallas(
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
+    from ..utils.bn254 import P as _P
+
+    z_bound = z_bound or 4 * _P
     n = z_arr.shape[0]
     nrows = z_arr.shape[3]
     grid = (nrows // 8, n)
@@ -143,7 +154,7 @@ def running_inverse_pallas(
         memory_space=pltpu.VMEM,
     )
     zinv = pl.pallas_call(
-        partial(_bwd_kernel, n),
+        partial(_bwd_kernel, n, z_bound),
         out_shape=jax.ShapeDtypeStruct(z_arr.shape, jnp.int32),
         grid=grid,
         in_specs=[rev_block, rev_block, fixed],

@@ -219,9 +219,7 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
       make (tiny) XLA excursions. Returns Fq12, or (f_arr, inner, pad)
       when ``keep_k``.
     """
-    from ..fields.fp2 import Fp2 as _Fp2
-    from ..ops import klayout as KL
-    from ..ops.curve_kernels import trajectory_pallas
+    from ..ops.curve_kernels import trajectory_bounds, trajectory_pallas
     from ..ops.fq12_kernels import from_kernel_layout
     from ..ops.fq2_vm import fp2s_to_vm, vm_to_fp2s
     from ..ops.fused_kernels import miller_f_pallas
@@ -231,19 +229,24 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
     digits = np.asarray(STEP_DIGITS, np.int32)
     kbatch = (K,) + inner
 
-    # Phase B: trajectory (kernel layout, lanes = K*inner).
+    # Phase B: trajectory (kernel layout, lanes = K*inner). Outputs are
+    # redundant representatives with bounds above 2p (the per-step caps
+    # were ~22% of the kernel); all consumers take the static bounds.
     q_arr, pad = _g2_to_traj_k(qs)
     tops_k, dbls_k, end_k = trajectory_pallas(q_arr, digits)
     nrows_kb = tops_k.shape[3]
+    tb = trajectory_bounds()
+    (bx, by, bz) = tb["top"]
+    (bxd, byd, bzd) = tb["dbl"]
 
     # Epilogue points (miller_loop_native.rs:183-188) — single states, XLA.
     q1 = twisted_frobenius(qs)
     nq2 = neg_twisted_frobenius(q1)
     e6 = _k_to_comps(end_k, (), kbatch, pad)
     end = G2Jac(
-        Fp2(F.Fp(e6[0], 2 * F.P, F.SETTLED), F.Fp(e6[1], 2 * F.P, F.SETTLED)),
-        Fp2(F.Fp(e6[2], 2 * F.P, F.SETTLED), F.Fp(e6[3], 2 * F.P, F.SETTLED)),
-        Fp2(F.Fp(e6[4], 2 * F.P, F.SETTLED), F.Fp(e6[5], 2 * F.P, F.SETTLED)),
+        Fp2(F.Fp(e6[0], bx, F.SETTLED), F.Fp(e6[1], bx, F.SETTLED)),
+        Fp2(F.Fp(e6[2], by, F.SETTLED), F.Fp(e6[3], by, F.SETTLED)),
+        Fp2(F.Fp(e6[4], bz, F.SETTLED), F.Fp(e6[5], bz, F.SETTLED)),
     )
     st91 = _jac_cap(jac_mixed_add(end, q1))
     st91_k, _ = _comps_to_k(
@@ -264,11 +267,13 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
         ],
         axis=0,
     )
-    prefix, total = prefix_products_pallas(z_stack)
+    z_bound = max(bz, bzd, 2 * F.P)
+    prefix, total = prefix_products_pallas(z_stack, z_bound=z_bound)
     (total_fp2,) = vm_to_fp2s(total[None], (nrows_kb * 128,), 0)
     tinv = F2.cap(F2.inv(total_fp2))
     tinv_arr, _, _ = fp2s_to_vm([tinv])
-    zinv = running_inverse_pallas(z_stack, prefix, tinv_arr[0])
+    zinv = running_inverse_pallas(z_stack, prefix, tinv_arr[0],
+                                  z_bound=z_bound)
 
     # Phase C: lines kernel (affine conversion folded in).
     px = F._cap_2p(ps.x)
@@ -280,7 +285,8 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
             F._cap_2p(qs.y.c0).limbs, F._cap_2p(qs.y.c1).limbs,
         ]
     )
-    tg_s, ch_s = lines_pallas(tops_k, dbls_k, zinv, pq_arr, digits)
+    tg_s, ch_s = lines_pallas(tops_k, dbls_k, zinv, pq_arr, digits,
+                              state_bounds=((bx, by), (bxd, byd)))
 
     # Separate the pairs axis from lanes into per-pair component groups.
     r_in = nrows_kb // K
@@ -292,10 +298,8 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
             x.reshape(N_STEPS, 6, F.NLIMBS, K, r_in, 128), 3, 1
         ).reshape(N_STEPS, K * 6, F.NLIMBS, r_in, 128)
 
-    flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
-    f_arr = miller_f_pallas(split_k(tg_s), split_k(ch_s), flags_np, K)
-
-    # Epilogue lines from the end/st91 affine states (XLA, 2 states).
+    # Epilogue lines from the end/st91 affine states (XLA, 2 states),
+    # fused into the f kernel as two trailing chord-only steps.
     zs = vm_to_fp2s(zinv[2 * N_STEPS : 2 * N_STEPS + 2], kbatch, pad)
 
     def to_aff(jac: G2Jac, zi: Fp2) -> G2:
@@ -308,22 +312,13 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
     e1 = lines.line_unequal(aff_end.x, aff_end.y, q1.x, q1.y, px, py)
     e2 = lines.line_unequal(aff_st91.x, aff_st91.y, nq2.x, nq2.y, px, py)
 
+    flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
+    f_arr = _fused_miller_with_epilogue(
+        split_k(tg_s), split_k(ch_s), e1, e2, flags_np, K, nrows_kb
+    )
+
     nrows_in = f_arr.shape[2]
     inner_pad = nrows_in * 128 - int(np.prod(inner, dtype=np.int64))
-
-    def pick(v: Fp2, kk):
-        return _Fp2(
-            F.Fp(v.c0.limbs[kk], v.c0.bound, v.c0.limb_bound),
-            F.Fp(v.c1.limbs[kk], v.c1.bound, v.c1.limb_bound),
-        )
-
-    for k in range(K):
-        for line in (e1, e2):
-            lk = KL.sparse_to_k(
-                {2: pick(line[0], k), 3: pick(line[1], k), 5: pick(line[2], k)},
-                nrows_in,
-            )
-            f_arr = KL.kmul_sparse(f_arr, (2, 3, 5), lk)
     if keep_k:
         return f_arr, inner, inner_pad
     return from_kernel_layout(f_arr, inner, inner_pad)
@@ -364,17 +359,31 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
         return _miller_pallas_resident(qs, ps, K, inner, keep_k)
 
     # Phase B: trajectories for all pairs at once ([K, ...] batch) —
-    # fused VM kernel on TPU, lax.scan elsewhere.
-
+    # fused VM kernel on TPU, lax.scan elsewhere. The pallas trajectory
+    # emits redundant representatives (bounds above 2p — the per-step
+    # caps were ~22% of the kernel); declare its static bounds so the
+    # XLA layer's bound discipline inserts any needed weak reductions.
     if dispatch.use_pallas():
+        from ..ops.curve_kernels import trajectory_bounds
+
         tops, dbls, end_l = _trajectory_pallas(qs)
+        tb = trajectory_bounds()
     else:
         tops, dbls, end_l = _trajectory(qs)
+        tb = {"top": (2 * F.P,) * 3, "dbl": (2 * F.P,) * 3}
 
     # Epilogue points (miller_loop_native.rs:183-188).
     q1 = twisted_frobenius(qs)
     nq2 = neg_twisted_frobenius(q1)
-    end = _jac_from_limbs(end_l)
+    end = G2Jac(
+        *(
+            Fp2(
+                F.Fp(end_l[i][0], tb["top"][i], F.SETTLED),
+                F.Fp(end_l[i][1], tb["top"][i], F.SETTLED),
+            )
+            for i in range(3)
+        )
+    )
     st91 = _jac_cap(jac_mixed_add(end, q1))
 
     # Phase N: one bulk normalization of [64 tops + 64 dbls + end + st91].
@@ -385,10 +394,17 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
         parts.append(st[field_idx][comp][None])
         return jnp.concatenate(parts, axis=0)  # [130, K, ..., L]
 
+    def cat_bound(i):
+        return max(tb["top"][i], tb["dbl"][i], 2 * F.P)
+
     stack = G2Jac(
-        Fp2(F.Fp(cat(0, 0), 2 * F.P, F.SETTLED), F.Fp(cat(0, 1), 2 * F.P, F.SETTLED)),
-        Fp2(F.Fp(cat(1, 0), 2 * F.P, F.SETTLED), F.Fp(cat(1, 1), 2 * F.P, F.SETTLED)),
-        Fp2(F.Fp(cat(2, 0), 2 * F.P, F.SETTLED), F.Fp(cat(2, 1), 2 * F.P, F.SETTLED)),
+        *(
+            Fp2(
+                F.Fp(cat(i, 0), cat_bound(i), F.SETTLED),
+                F.Fp(cat(i, 1), cat_bound(i), F.SETTLED),
+            )
+            for i in range(3)
+        )
     )
     aff = batch_to_affine(stack)  # G2 with batch [130, K, ...]
 
@@ -444,7 +460,6 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
     # multi-pair lane splits) and for witness tracing (collect streams the
     # per-step accumulator out of the same production kernel).
     if dispatch.use_pallas():
-        from ..ops import klayout as KL
         from ..ops.fq12_kernels import from_kernel_layout
         from ..ops.fused_kernels import miller_f_pallas
 
@@ -458,25 +473,12 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
             f_steps = tuple((c12[2 * i], c12[2 * i + 1]) for i in range(6))
             f = from_kernel_layout(f_arr, inner, pad)
         else:
-            f_arr = miller_f_pallas(arr, ch_arr, flags_np, K)
-            # Epilogue multiplies in kernel layout
+            # Epilogue multiplies fused into the f kernel
             # (miller_loop_native.rs:274-280).
-            nrows = f_arr.shape[2]
-
-            def pick(v: Fp2, kk):
-                return Fp2(
-                    F.Fp(v.c0.limbs[kk], v.c0.bound, v.c0.limb_bound),
-                    F.Fp(v.c1.limbs[kk], v.c1.bound, v.c1.limb_bound),
-                )
-
-            for k in range(K):
-                for line in (e1, e2):
-                    lk = KL.sparse_to_k(
-                        {2: pick(line[0], k), 3: pick(line[1], k),
-                         5: pick(line[2], k)},
-                        nrows,
-                    )
-                    f_arr = KL.kmul_sparse(f_arr, (2, 3, 5), lk)
+            nrows = arr.shape[3] * K
+            f_arr = _fused_miller_with_epilogue(
+                arr, ch_arr, e1, e2, flags_np, K, nrows
+            )
             if keep_k:
                 return f_arr, inner, pad
             return from_kernel_layout(f_arr, inner, pad)
@@ -552,6 +554,42 @@ def _phase_d_scan(tg, ch_full, flags_np, K, inner, collect_trace):
     )
     f_l, f_steps = jax.lax.scan(fbody, _fq12_to_limbs(one), xs)
     return _fq12_from_limbs(f_l), f_steps
+
+
+def _ep_lines_to_stream(line3, K, nrows):
+    """3 x Fp2 [K, *inner] (one epilogue line per pair) -> one fused-kernel
+    chord-step block [K*6, NLIMBS, nrows//K, 128] (pair-major rows,
+    zero-padded lanes)."""
+    comps = []
+    for fp2 in line3:
+        comps.append(F._cap_2p(fp2.c0).limbs)
+        comps.append(F._cap_2p(fp2.c1).limbs)
+    x = jnp.stack(comps, axis=1)  # [K, 6, *inner, L]
+    flat = x.reshape(K, 6, -1, F.NLIMBS)
+    r_in = nrows // K
+    need = r_in * 128
+    b = flat.shape[2]
+    assert b <= need
+    if b < need:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, need - b), (0, 0)))
+    return jnp.moveaxis(flat, -1, 2).reshape(K * 6, F.NLIMBS, r_in, 128)
+
+
+def _fused_miller_with_epilogue(tg_arr, ch_arr, e1, e2, flags_np, K, nrows):
+    """Run the f-accumulation with the two Frobenius-line multiplies
+    (miller_loop_native.rs:274-280) fused as trailing chord-only steps —
+    no per-pair host-side kernel launches (the multiply order across
+    pairs differs from the reference's per-pair order, which is
+    value-identical: Fq12 multiplication is commutative)."""
+    from ..ops.fused_kernels import miller_f_pallas
+
+    ep = jnp.stack(
+        [_ep_lines_to_stream(list(e), K, nrows) for e in (e1, e2)]
+    )  # [2, K*6, L, r_in, 128]
+    tg_full = jnp.concatenate([tg_arr, jnp.zeros_like(ep)], axis=0)
+    ch_full = jnp.concatenate([ch_arr, ep], axis=0)
+    flags_full = np.concatenate([flags_np, np.asarray([2, 2], np.int32)])
+    return miller_f_pallas(tg_full, ch_full, flags_full, K)
 
 
 def _lines_to_kernel_layout(line3, K):

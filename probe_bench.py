@@ -177,6 +177,54 @@ def _cyc_kernel(n_steps, s_ref, out_ref, fA):
         _emit(out_ref, fA)
 
 
+def _dyn_kernel(n_steps, dynamic, idx_ref, s_ref, out_ref, fA, tab):
+    """Copy 12x21 tiles from a 4-row table per step, dynamic vs static
+    leading index — isolates the cost of dynamic VMEM indexing (the VM
+    register file and the ladder table-select both lean on it)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for r in range(4):
+            for c in range(12):
+                for l in range(NLIMBS):
+                    tab[r, c, l] = s_ref[0, c % 6, l] + r
+
+    if dynamic:
+        idx = idx_ref[t]
+        for c in range(12):
+            for l in range(NLIMBS):
+                fA[c, l] = fA[c, l] + tab[idx, c, l]
+    else:
+        for c in range(12):
+            for l in range(NLIMBS):
+                fA[c, l] = fA[c, l] + tab[0, c, l]
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        _emit(out_ref, fA)
+
+
+def run_ladder_probe(all_ones: bool, N0=8, N1=128):
+    """Slope of the REAL w4 pow ladder kernel per step: digits all-zero
+    (cyc-square path) vs all-one (cyc + table-select + dense mul)."""
+    from pairing_tpu.ops.fused_kernels import pow_ladder_w4_pallas
+    rng = np.random.RandomState(0)
+    m = jnp.asarray(
+        rng.randint(0, 1 << 13, size=(12, NLIMBS, R, 128)).astype(np.int32))
+    ts = {}
+    for n in (N0, N1):
+        digs = np.ones((n,), np.int32) if all_ones else np.asarray(
+            [1] + [0] * (n - 1), np.int32)
+        fn = jax.jit(lambda m, d=digs: pow_ladder_w4_pallas(m, d))
+        t0 = time.time()
+        t = timed(fn, m)
+        ts[n] = t
+        print(f"  ladder{'1' if all_ones else '0'} N={n}: {t*1e3:.2f}ms "
+              f"(build+compile {time.time()-t0:.0f}s)", flush=True)
+    return (ts[N1] - ts[N0]) / (N1 - N0)
+
+
 def build(kind, n_steps, flags_val=0):
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     scr12 = lambda: pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32)
@@ -200,6 +248,12 @@ def build(kind, n_steps, flags_val=0):
     elif kind == "cyc":
         kern, in_specs, scratch = (
             partial(_cyc_kernel, n_steps), [_stream_spec()], [scr12()])
+    elif kind in ("dyn", "stat"):
+        kern = partial(_dyn_kernel, n_steps, kind == "dyn")
+        in_specs = [smem(), _stream_spec()]
+        consts = (jnp.asarray(
+            np.arange(n_steps, dtype=np.int32) % 4),)
+        scratch = [scr12(), pltpu.VMEM((4, 12, NLIMBS, 8, 128), jnp.int32)]
     else:
         raise SystemExit(f"unknown probe {kind}")
 
@@ -230,13 +284,19 @@ def timed(fn, stream, reps=10):
     return best
 
 
-ALL = ["noop", "mul", "sq", "sparse", "when0", "when1", "cyc"]
+ALL = ["noop", "mul", "sq", "sparse", "when0", "when1", "cyc",
+       "dyn", "stat", "ladder0", "ladder1"]
 
 
 def main():
     which = sys.argv[1:] or ALL
     rng = np.random.RandomState(0)
     results = {}
+    for name in [w for w in which if w.startswith("ladder")]:
+        slope = run_ladder_probe(name == "ladder1")
+        results[name] = slope
+        print(f"{name}: slope {slope*1e6:.1f}us/step (2048 lanes)", flush=True)
+    which = [w for w in which if not w.startswith("ladder")]
     # Wide step contrast: the axon relay adds ~±10 ms of per-call jitter,
     # so the slope window must dwarf it (504 steps x ~50 us >> jitter).
     N0, N1 = 8, 512

@@ -151,6 +151,68 @@ def test_miller_f_kernel_short_vs_scan():
 
 
 @pytest.mark.skipif(
+    "PAIRING_SLOW_TESTS" not in __import__("os").environ,
+    reason="interpret mode unrolls the grid; slow on CPU (set PAIRING_SLOW_TESTS=1)",
+)
+@pytest.mark.parametrize("n_pairs", [1, 2])
+def test_miller_f_kernel_fused_epilogue(n_pairs):
+    """flag==2 steps: chord-only multiply, no squaring/tangent — the fused
+    Miller epilogue (miller_loop_native.rs:274-280). Cross-pair multiply
+    order on an epilogue step is pair-major per step; values are identical
+    by commutativity, checked canonically vs the oracle."""
+    steps = 3
+    flags = np.asarray([1, 0, 2], np.int32)
+
+    def rand_fq2():
+        return (RNG.randrange(P), RNG.randrange(P))
+
+    tg_int = [[[rand_fq2() for _ in range(3)] for _ in range(n_pairs)]
+              for _ in range(steps)]
+    ch_int = [[[rand_fq2() for _ in range(3)] for _ in range(n_pairs)]
+              for _ in range(steps)]
+
+    # reference recurrence via the oracle (shared squaring per loop step;
+    # epilogue step multiplies chords only)
+    f = o.fq12_one()
+    for t in range(steps):
+        if flags[t] != 2:
+            f = o.fq12_mul(f, f)
+            for k in range(n_pairs):
+                sparse_t = [None] * 6
+                for slot, v in zip((0, 3, 4), tg_int[t][k]):
+                    sparse_t[slot] = v
+                f = o.sparse_fp12_multiply(f, sparse_t)
+        if flags[t] != 0:
+            for k in range(n_pairs):
+                sparse_c = [None] * 6
+                for slot, v in zip((2, 3, 5), ch_int[t][k]):
+                    sparse_c[slot] = v
+                f = o.sparse_fp12_multiply(f, sparse_c)
+    expect = f
+
+    def build(lines_int):
+        arr = np.zeros((steps, n_pairs * 6, F.NLIMBS, 8, 128), np.int32)
+        for t in range(steps):
+            for k in range(n_pairs):
+                for j in range(3):
+                    for cc in range(2):
+                        val = lines_int[t][k][j][cc] * F.R_MONT % P
+                        arr[t, 6 * k + 2 * j + cc, :, 0, 0] = F.int_to_limbs(val)
+        return jnp.asarray(arr)
+
+    tg_arr = build(tg_int)
+    ch_arr = build(ch_int)
+
+    @jax.jit
+    def run(tg_arr, ch_arr):
+        return miller_f_pallas(tg_arr, ch_arr, flags, n_pairs, interpret=True)
+
+    out = run(tg_arr, ch_arr)
+    got = F12.fq12_to_int_coeffs(from_kernel_layout(out, (1024,), 0))[0]
+    assert got == expect
+
+
+@pytest.mark.skipif(
     jax.devices()[0].platform != "tpu", reason="full-length kernels need TPU"
 )
 def test_pairing_pallas_backend_bit_exact_tpu():
