@@ -119,18 +119,21 @@ def _mul_core_v2(a_get, b_get, out_set):
     _acc_flush(acc, out_set)
 
 
-def _sparse_core_v2(present: Tuple[int, ...], a_get, b_slot_get, out_set):
+def _sparse_core_v2(present: Tuple[int, ...], a_get, b_slot_get, out_set,
+                    b_bound: int = 2 * P):
     """Sparse product (|present| line slots): 3 wide muls per slot pair.
 
     The unordered-pair sharing doesn't apply across different operand
     vectors with disjoint support, so each (i, j) product is a plain Fq2
-    Karatsuba (054/235 line shapes: 54 muls vs 72)."""
+    Karatsuba (054/235 line shapes: 54 muls vs 72). ``b_bound``: static
+    value bound of the line slots (the lines kernel emits redundant
+    representatives above 2p; the KW budget asserts cover it)."""
     A = [_k2_read(a_get, i) for i in range(6)]
     B = [
         W.K2(
             [b_slot_get(jj, 0, l) for l in range(NLIMBS)],
             [b_slot_get(jj, 1, l) for l in range(NLIMBS)],
-            2 * P,
+            b_bound,
         )
         for jj in range(len(present))
     ]

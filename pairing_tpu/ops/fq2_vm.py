@@ -120,10 +120,15 @@ class Fq2Assembler:
             self.red(r)
 
     def mul_w6(self, dst, a):
-        # k2_mul_w6 uses a 2p offset internally: operand must be < 2p
-        self._prep_to(a, 2 * P)
-        self._emit(OP_MULW6, dst, a)
-        self.bound[dst] = 20 * P
+        # xi * a = (9 c0 - c1 + kp) + (c0 + 9 c1) u; the kp offset index
+        # rides in imm (same table as SUB), so no pre-reduction is needed
+        # for any operand bound the SUB_KS table covers.
+        need_k = -(-self.bound[a] // P)
+        ki = next(i for i, k in enumerate(SUB_KS) if k >= need_k)
+        b = self.bound[a]
+        self._emit(OP_MULW6, dst, a, 0, ki)
+        self.bound[dst] = max(9 * b + SUB_KS[ki] * P, 10 * b)
+        assert self.bound[dst] < (1 << 270)
 
     def table(self) -> np.ndarray:
         return np.asarray(self.prog, np.int32)
@@ -215,9 +220,17 @@ def run_program(prog_ref, n_ops: int, regs, kp_ref):
 
         @pl.when(op == OP_MULW6)
         def _():
-            av = _reg_read(regs, a)
-            out = K.k2_mul_w6(av)
-            _reg_write(regs, dst, out[0], out[1])
+            a0, a1 = _reg_read(regs, a)
+            zero = a0[0] - a0[0]
+            kp = [kp_ref[imm, j] for j in range(NLIMBS + 1)]
+            t0 = [a0[i] * 9 for i in range(NLIMBS)] + [zero]
+            a1e = list(a1) + [zero]
+            s0 = [t0[i] - a1e[i] + kp[i] for i in range(NLIMBS + 1)]
+            s0 = K.k_carry(s0, 4)[:NLIMBS]
+            s1 = K.k_carry(
+                [a0[i] + a1[i] * 9 for i in range(NLIMBS)], 2
+            )
+            _reg_write(regs, dst, s0, s1)
 
         return 0
 

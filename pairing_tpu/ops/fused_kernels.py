@@ -69,8 +69,12 @@ def _ref_out(ref):
 # ---------------------------------------------------------------------------
 
 
-def _miller_kernel(n_pairs, n_steps, collect, flag_ref,
+def _miller_kernel(n_pairs, n_steps, collect, has_ep, line_bound, flag_ref,
                    tg_ref, ch_ref, *refs):
+    if has_ep:
+        ep_ref, *refs = refs
+    else:
+        ep_ref = None
     if collect:
         out_ref, fs_ref, fA, fB, fC = refs
     else:
@@ -110,18 +114,27 @@ def _miller_kernel(n_pairs, n_steps, collect, flag_ref,
     def _():
         _sparse_core_v2(S034, _ref_get(fB),
                         lambda jj, cc, l: tg_ref[0, 2 * jj + cc, l],
-                        _ref_out(fC))
+                        _ref_out(fC), b_bound=line_bound)
 
     @pl.when(flag == 2)
     def _():
         _copy_f(fC, fB)
 
-    # chord multiply on digit/epilogue steps (fC -> fA), else carry fC
-    @pl.when(flag != 0)
+    # chord multiply on digit steps, epilogue-line multiply on flag==2
+    # steps (fC -> fA), else carry fC
+    @pl.when(flag == 1)
     def _():
         _sparse_core_v2(S235, _ref_get(fC),
                         lambda jj, cc, l: ch_ref[0, 2 * jj + cc, l],
-                        _ref_out(fA))
+                        _ref_out(fA), b_bound=line_bound)
+
+    if has_ep:
+
+        @pl.when(flag == 2)
+        def _():
+            _sparse_core_v2(S235, _ref_get(fC),
+                            lambda jj, cc, l: ep_ref[0, 2 * jj + cc, l],
+                            _ref_out(fA))
 
     @pl.when(flag == 0)
     def _():
@@ -144,7 +157,9 @@ def _miller_kernel(n_pairs, n_steps, collect, flag_ref,
 
 def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
                     flags: np.ndarray, n_pairs: int,
-                    interpret=None, collect: bool = False):
+                    interpret=None, collect: bool = False,
+                    ep_arr: jnp.ndarray = None,
+                    line_bound: int = 0):
     """Run the multi-pair f-accumulation (any K >= 1).
 
     tg_arr/ch_arr: [steps, n_pairs*6, NLIMBS, R, 128] line stacks
@@ -155,37 +170,67 @@ def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
     stream [steps, 12, NLIMBS, R, 128] (the witness path's f_steps,
     miller_loop_target.rs:132-311) — production runs keep collect off to
     skip the per-step HBM writeback.
+
+    ``ep_arr``: [n_ep, n_pairs*6, NLIMBS, R, 128] epilogue-line blocks for
+    the trailing flag==2 steps (kept as a separate input so the 64-step
+    line streams are never copied into a concatenated array; flags entry
+    t==2 reads ep block t - n_loop where n_loop = #(flags != 2)).
     """
     from .jit_cache import cached_jit
 
     assert not (collect and any(int(f) == 2 for f in flags)), (
         "witness collection runs the 64-step schedule (no fused epilogue)"
     )
+    n_ep = sum(1 for f in flags if int(f) == 2)
+    assert n_ep == 0 or (
+        ep_arr is not None
+        and ep_arr.shape[0] == n_ep
+        and all(int(f) == 2 for f in flags[len(flags) - n_ep:])
+    ), "flag==2 steps must trail and match ep_arr rows"
 
     if interpret is None:
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
+    from ..utils.bn254 import P as _P
+
+    line_bound = line_bound or 2 * _P
     key = ("miller_f", tuple(int(x) for x in flags), n_pairs, bool(interpret),
-           bool(collect))
+           bool(collect), line_bound)
+    args = (tg_arr, ch_arr) if ep_arr is None else (tg_arr, ch_arr, ep_arr)
     return cached_jit(
         key,
-        lambda: lambda tg, ch: _miller_f_impl(tg, ch, flags, n_pairs,
-                                              interpret, collect),
-    )(tg_arr, ch_arr)
+        lambda: lambda tg, ch, *ep: _miller_f_impl(tg, ch, flags, n_pairs,
+                                                   interpret, collect,
+                                                   line_bound, *ep),
+    )(*args)
 
 
-def _miller_f_impl(tg_arr, ch_arr, flags, n_pairs, interpret, collect):
-    n_steps = tg_arr.shape[0]
+def _miller_f_impl(tg_arr, ch_arr, flags, n_pairs, interpret, collect,
+                   line_bound, ep_arr=None):
+    n_steps = len(flags)
+    n_loop = tg_arr.shape[0]
     assert tg_arr.shape[1] == n_pairs * 6
     nrows = tg_arr.shape[3]
     assert nrows % 8 == 0
     grid = (nrows // 8, n_steps, n_pairs)
+    has_ep = ep_arr is not None
 
-    kern = partial(_miller_kernel, n_pairs, n_steps, collect)
+    kern = partial(_miller_kernel, n_pairs, n_steps, collect, has_ep,
+                   line_bound)
+    # loop-line blocks clamp to the last loop step on epilogue steps (the
+    # kernel never reads them there); epilogue blocks index t - n_loop.
     line_block = pl.BlockSpec(
         (1, 6, NLIMBS, 8, 128),
-        lambda bt, t, kc: (t, kc, 0, bt, 0),
+        lambda bt, t, kc: (jnp.minimum(t, n_loop - 1), kc, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ep_block = pl.BlockSpec(
+        (1, 6, NLIMBS, 8, 128),
+        lambda bt, t, kc: (
+            jnp.clip(t - n_loop, 0, max(n_steps - n_loop - 1, 0)),
+            kc, 0, bt, 0,
+        ),
         memory_space=pltpu.VMEM,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -208,11 +253,16 @@ def _miller_f_impl(tg_arr, ch_arr, flags, n_pairs, interpret, collect):
         )
     else:
         out_specs = f_spec
+    in_specs = [smem(), line_block, line_block]
+    ins = [jnp.asarray(flags, jnp.int32), tg_arr, ch_arr]
+    if has_ep:
+        in_specs.append(ep_block)
+        ins.append(ep_arr)
     out = pl.pallas_call(
         kern,
         out_shape=out_shape,
         grid=grid,
-        in_specs=[smem(), line_block, line_block],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
@@ -220,7 +270,7 @@ def _miller_f_impl(tg_arr, ch_arr, flags, n_pairs, interpret, collect):
             pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(jnp.asarray(flags, jnp.int32), tg_arr, ch_arr)
+    )(*ins)
     return out
 
 
@@ -473,3 +523,133 @@ def _wnaf_msb(e: int, w: int) -> np.ndarray:
 
 #: MSB-first BN_X w=4 NAF digits (top digit consumed by ladder init).
 BN_X_W4_DIGITS = _wnaf_msb(BN_X, 4)
+
+
+# ---------------------------------------------------------------------------
+# Streamed-operand windowed ladder
+# ---------------------------------------------------------------------------
+#
+# The in-kernel-table w4 ladder (above) holds a 4-entry Fq12 table in VMEM
+# scratch (4 MB of the ~16 MB/core budget) and selects the digit operand
+# with jnp.where chains + conditional conjugation per multiply step. The
+# streamed variant hoists all of that to XLA: the signed table entries
+# for each nonzero digit are precomputed (3 muls + conjugates) and
+# stacked into an HBM stream; the kernel fetches exactly the entry a
+# step needs via a scalar-prefetched block index (zero-digit steps
+# revisit the same block, which Pallas does not refetch). The kernel body
+# is just cyc-square + optional dense mul.
+
+
+def _pow_stream_kernel(n_steps, row_ref, dig_ref, s_ref, out_ref, fA, fB):
+    t = pl.program_id(1)
+    s_get = lambda c, l: s_ref[0, c, l]
+
+    @pl.when(t == 0)
+    def _():
+        # res = table entry of the top digit (row 0)
+        for c in range(12):
+            for l in range(NLIMBS):
+                fA[c, l] = s_ref[0, c, l]
+
+    @pl.when(t != 0)
+    def _():
+        _cyc_step(_ref_get(fA), fB)
+
+    d = dig_ref[t]
+
+    @pl.when((t != 0) & (d != 0))
+    def _():
+        _mul_core_v2(_ref_get(fB), s_get, _ref_out(fA))
+
+    @pl.when((t != 0) & (d == 0))
+    def _():
+        _copy_f(fA, fB)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for c in range(12):
+            for l in range(NLIMBS):
+                out_ref[c, l] = fA[c, l]
+
+
+def pow_ladder_stream_pallas(stream: jnp.ndarray, digits: np.ndarray,
+                             rows: np.ndarray, interpret=None) -> jnp.ndarray:
+    """res = ladder over MSB-first w-NAF ``digits`` with the signed table
+    entries pre-selected into ``stream`` [n_rows, 12, NLIMBS, R, 128];
+    ``rows[t]`` = stream row holding step t's operand (row 0 = the init
+    entry for the top digit; unchanged on zero-digit steps)."""
+    n_steps = len(digits)
+    assert digits[0] > 0 and rows[0] == 0
+    nrows = stream.shape[4 - 1]
+    assert nrows % 8 == 0
+    grid = (nrows // 8, n_steps)
+
+    kern = partial(_pow_stream_kernel, n_steps)
+    stream_block = pl.BlockSpec(
+        (1, 12, NLIMBS, 8, 128),
+        lambda bt, t, row_ref: (row_ref[t], 0, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_block = pl.BlockSpec(
+        (12, NLIMBS, 8, 128), lambda bt, t, row_ref: (0, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), stream_block],
+        out_specs=out_block,
+        scratch_shapes=[
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (12, NLIMBS, nrows, 128), jnp.int32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        jnp.asarray(np.asarray(rows, np.int32)),
+        jnp.asarray(np.asarray(digits, np.int32)),
+        stream,
+    )
+
+
+def pow_x_streamed(m_arr: jnp.ndarray, interpret=None) -> jnp.ndarray:
+    """m^BN_X on the cyclotomic subgroup via the streamed w4 ladder.
+
+    Table (m, m^3, m^5, m^7 and conjugates as needed) is built with the
+    standard klayout kernels; the ladder kernel holds only the two f
+    buffers in VMEM."""
+    from . import klayout as KL
+
+    if interpret is None:
+        from .fq12_kernels import on_tpu
+
+        interpret = not on_tpu()
+    digits = BN_X_W4_DIGITS
+    m2 = KL.kcyc_sq(m_arr, interpret=interpret)
+    ent = {1: m_arr}
+    ent[3] = KL.kmul(m2, ent[1], interpret=interpret)
+    ent[5] = KL.kmul(m2, ent[3], interpret=interpret)
+    ent[7] = KL.kmul(m2, ent[5], interpret=interpret)
+
+    rows_list = []
+    row_of_step = []
+    r = -1
+    for t, d in enumerate(int(x) for x in digits):
+        if d != 0 or t == 0:
+            e = ent[abs(d)]
+            if d < 0:
+                e = KL.kconj(e, interpret=interpret)
+            rows_list.append(e)
+            r += 1
+        row_of_step.append(r)
+    stream = jnp.stack(rows_list)
+    return pow_ladder_stream_pallas(
+        stream, digits, np.asarray(row_of_step, np.int32),
+        interpret=interpret,
+    )

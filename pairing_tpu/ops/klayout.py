@@ -268,14 +268,16 @@ def kpow_x(m: jnp.ndarray) -> jnp.ndarray:
     reference's STARK exp offload; final_exp_native.rs:56-84).
 
     Called 3x per final exp — the cached jit traces the ladder body once
-    per process. Runs the width-4 NAF windowed ladder (13 in-ladder
-    multiplies vs 23 for plain NAF; table {m, m^3, m^5, m^7} built
-    in-kernel)."""
-    from .fused_kernels import BN_X_W4_DIGITS, pow_ladder_w4_pallas
+    per process. Runs the streamed width-4 NAF ladder: the signed table
+    entries are precomputed with the klayout kernels and the ladder
+    kernel fetches each multiply step's operand via a scalar-prefetched
+    block index, keeping kernel VMEM to two f buffers (the in-kernel
+    table variant held a 4 MB table + select chains in the ~16 MB/core
+    budget)."""
+    from .fused_kernels import pow_x_streamed
 
     return cached_jit(
-        ("kpow_x",),
-        lambda: lambda m: pow_ladder_w4_pallas(m, BN_X_W4_DIGITS),
+        ("kpow_x_stream",), lambda: pow_x_streamed
     )(m)
 
 

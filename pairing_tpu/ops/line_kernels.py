@@ -51,11 +51,16 @@ NREG = 22
 
 @lru_cache(maxsize=None)
 def _line_program(state_bounds=None):
-    """Returns (prog_table, n_ops_tangent, n_ops_full).
+    """Returns (prog_table, n_ops_tangent, n_ops_full, out_bound).
 
     ``state_bounds``: ((bx_top, by_top), (bx_dbl, by_dbl)) value bounds of
     the trajectory X/Y inputs (redundant representatives from
-    curve_kernels.trajectory_bounds); None -> the 2p envelope."""
+    curve_kernels.trajectory_bounds); None -> the 2p envelope.
+
+    The line outputs are NOT capped (the weak reductions were ~24% of the
+    kernel): ``out_bound`` is the max static value bound over all six
+    output registers — the fused f kernel's sparse cores take it as the
+    line-operand bound."""
     (bxt, byt), (bxd, byd) = state_bounds or ((2 * P, 2 * P), (2 * P, 2 * P))
     a = Fq2Assembler(NREG)
     for r, b in (
@@ -78,16 +83,18 @@ def _line_program(state_bounds=None):
     a.scale(16, 16, 3)
     a.scale(17, 17, 2)
     a.sub(16, 16, 17)  # 3x^3 - 2y^2
-    a.mul_w6(16, 16)
-    a.cap(16)  # out0
+    a.mul_w6(16, 16)  # out0
     a.mul(18, 15, R_PX)
     a.scale(18, 18, 3)
-    a.sub(18, R_ZERO, 18)  # -3 x^2 Px
-    a.cap(18)  # out4
+    a.sub(18, R_ZERO, 18)  # out4 = -3 x^2 Px
     a.mul(19, 14, R_PY)
-    a.scale(19, 19, 2)
-    a.cap(19)  # out3
+    a.scale(19, 19, 2)  # out3
     n_tan = len(a.prog)
+    out_bound = max(a.bound[16], a.bound[18], a.bound[19])
+    # registers 15/17/20 hold tangent temps on zero-digit steps (the
+    # chord section is skipped there); their chord rows are never
+    # multiplied, but the static operand bound must still cover them
+    tan_garbage = max(a.bound[15], a.bound[17], a.bound[20] or 0)
 
     # --- chord from the post-double state and +-Q
     a.sq(11, R_ZID)
@@ -101,8 +108,10 @@ def _line_program(state_bounds=None):
     a.mul(20, 13, R_QY)
     a.mul(21, R_QX, 14)
     a.sub(20, 20, 21)  # out5 = cx qy - qx cy
-    a.cap(20)
-    return a.table(), n_tan, len(a.prog)
+    out_bound = max(
+        out_bound, a.bound[15], a.bound[17], a.bound[20], tan_garbage
+    )
+    return a.table(), n_tan, len(a.prog), out_bound
 
 
 def _lines_kernel(n_ops_ref, prog_ref, kp_ref, dig_ref,
@@ -158,15 +167,17 @@ def lines_pallas(tops, dbls, zinv, pq, digits: np.ndarray, interpret=None,
     ignored); zinv: [2*steps(+extra), 2, L, R, 128] with top zinvs at
     [0:steps] and post-double zinvs at [steps:2*steps]; pq: fixed
     [6, L, R, 128] rows (px, py, qx0, qx1, qy0, qy1); digits: int32 NAF
-    digits per step. Returns (tg, ch): [steps, 6, L, R, 128] each, rows
-    (out0|2 .c0,.c1, out3 .c0,.c1, out4|5 .c0,.c1), components < 2p.
-    Chord rows on zero-digit steps are unspecified (never consumed).
+    digits per step. Returns (tg, ch, out_bound): the line streams
+    [steps, 6, L, R, 128] (rows out0|2 .c0,.c1, out3 .c0,.c1,
+    out4|5 .c0,.c1) hold redundant representatives with static value
+    bound ``out_bound`` (settled limbs). Chord rows on zero-digit steps
+    are unspecified (never consumed).
     """
     if interpret is None:
         from .fq12_kernels import on_tpu
 
         interpret = not on_tpu()
-    prog, n_tan, n_full = _line_program(state_bounds)
+    prog, n_tan, n_full, out_bound = _line_program(state_bounds)
     n_steps = len(digits)
     nrows = tops.shape[3]
     assert nrows % 8 == 0
@@ -212,4 +223,4 @@ def lines_pallas(tops, dbls, zinv, pq, digits: np.ndarray, interpret=None,
         jnp.asarray(np.asarray(digits, np.int32)),
         tops, dbls, zinv, zinv, pq,
     )
-    return tg, ch
+    return tg, ch, out_bound

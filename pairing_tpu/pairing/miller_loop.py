@@ -285,8 +285,10 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
             F._cap_2p(qs.y.c0).limbs, F._cap_2p(qs.y.c1).limbs,
         ]
     )
-    tg_s, ch_s = lines_pallas(tops_k, dbls_k, zinv, pq_arr, digits,
-                              state_bounds=((bx, by), (bxd, byd)))
+    tg_s, ch_s, line_bound = lines_pallas(
+        tops_k, dbls_k, zinv, pq_arr, digits,
+        state_bounds=((bx, by), (bxd, byd)),
+    )
 
     # Separate the pairs axis from lanes into per-pair component groups.
     r_in = nrows_kb // K
@@ -314,7 +316,8 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
 
     flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
     f_arr = _fused_miller_with_epilogue(
-        split_k(tg_s), split_k(ch_s), e1, e2, flags_np, K, nrows_kb
+        split_k(tg_s), split_k(ch_s), e1, e2, flags_np, K, nrows_kb,
+        line_bound=line_bound,
     )
 
     nrows_in = f_arr.shape[2]
@@ -575,7 +578,8 @@ def _ep_lines_to_stream(line3, K, nrows):
     return jnp.moveaxis(flat, -1, 2).reshape(K * 6, F.NLIMBS, r_in, 128)
 
 
-def _fused_miller_with_epilogue(tg_arr, ch_arr, e1, e2, flags_np, K, nrows):
+def _fused_miller_with_epilogue(tg_arr, ch_arr, e1, e2, flags_np, K, nrows,
+                                line_bound: int = 0):
     """Run the f-accumulation with the two Frobenius-line multiplies
     (miller_loop_native.rs:274-280) fused as trailing chord-only steps —
     no per-pair host-side kernel launches (the multiply order across
@@ -586,10 +590,9 @@ def _fused_miller_with_epilogue(tg_arr, ch_arr, e1, e2, flags_np, K, nrows):
     ep = jnp.stack(
         [_ep_lines_to_stream(list(e), K, nrows) for e in (e1, e2)]
     )  # [2, K*6, L, r_in, 128]
-    tg_full = jnp.concatenate([tg_arr, jnp.zeros_like(ep)], axis=0)
-    ch_full = jnp.concatenate([ch_arr, ep], axis=0)
     flags_full = np.concatenate([flags_np, np.asarray([2, 2], np.int32)])
-    return miller_f_pallas(tg_full, ch_full, flags_full, K)
+    return miller_f_pallas(tg_arr, ch_arr, flags_full, K, ep_arr=ep,
+                           line_bound=line_bound)
 
 
 def _lines_to_kernel_layout(line3, K):

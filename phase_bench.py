@@ -106,14 +106,18 @@ def main():
     kbatch = qs.batch_shape
     q1 = twisted_frobenius(qs)
 
+    from pairing_tpu.ops.curve_kernels import trajectory_bounds
+
+    tb = trajectory_bounds()
+
     @jax.jit
     def run_norm(tops_k, dbls_k, end_k, q1):
         nrows_kb = tops_k.shape[3]
         e6 = _k_to_comps(end_k, (), kbatch, 0)
         end = G2Jac(
-            Fp2(F.Fp(e6[0], 2 * F.P, F.SETTLED), F.Fp(e6[1], 2 * F.P, F.SETTLED)),
-            Fp2(F.Fp(e6[2], 2 * F.P, F.SETTLED), F.Fp(e6[3], 2 * F.P, F.SETTLED)),
-            Fp2(F.Fp(e6[4], 2 * F.P, F.SETTLED), F.Fp(e6[5], 2 * F.P, F.SETTLED)),
+            Fp2(F.Fp(e6[0], tb["top"][0], F.SETTLED), F.Fp(e6[1], tb["top"][0], F.SETTLED)),
+            Fp2(F.Fp(e6[2], tb["top"][1], F.SETTLED), F.Fp(e6[3], tb["top"][1], F.SETTLED)),
+            Fp2(F.Fp(e6[4], tb["top"][2], F.SETTLED), F.Fp(e6[5], tb["top"][2], F.SETTLED)),
         )
         st91 = _jac_cap(jac_mixed_add(end, q1))
         st91_k, _ = _comps_to_k(
@@ -126,11 +130,13 @@ def main():
              st91_k.reshape(3, 2, F.NLIMBS, nrows_kb, 128)[None, 2]],
             axis=0,
         )
-        prefix, total = prefix_products_pallas(z_stack)
+        z_bound = max(tb["top"][2], tb["dbl"][2], 2 * F.P)
+        prefix, total = prefix_products_pallas(z_stack, z_bound=z_bound)
         (total_fp2,) = vm_to_fp2s(total[None], (nrows_kb * 128,), 0)
         tinv = F2.cap(F2.inv(total_fp2))
         tinv_arr, _, _ = fp2s_to_vm([tinv])
-        zinv = running_inverse_pallas(z_stack, prefix, tinv_arr[0])
+        zinv = running_inverse_pallas(z_stack, prefix, tinv_arr[0],
+                                      z_bound=z_bound)
         return zinv, st91_k
 
     results["norm"], (zinv, st91_k) = timed(
@@ -149,7 +155,14 @@ def main():
              F._cap_2p(qs.x.c0).limbs, F._cap_2p(qs.x.c1).limbs,
              F._cap_2p(qs.y.c0).limbs, F._cap_2p(qs.y.c1).limbs]
         )
-        return lines_pallas(tops_k, dbls_k, zinv, pq_arr, digits)
+        from pairing_tpu.ops.curve_kernels import trajectory_bounds
+        tb = trajectory_bounds()
+        tg, ch, _ = lines_pallas(
+            tops_k, dbls_k, zinv, pq_arr, digits,
+            state_bounds=((tb["top"][0], tb["top"][1]),
+                          (tb["dbl"][0], tb["dbl"][1])),
+        )
+        return tg, ch
 
     results["lines"], (tg_s, ch_s) = timed(
         run_lines, (tops_k, dbls_k, zinv, ps, qs), args.iters

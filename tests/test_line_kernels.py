@@ -108,7 +108,7 @@ def test_lines_kernel_vs_oracle():
         ]
     )
 
-    tg, ch = lines_pallas(top_arr, dbl_arr, zinv_arr, pq_arr, DIGITS, interpret=True)
+    tg, ch, line_bound = lines_pallas(top_arr, dbl_arr, zinv_arr, pq_arr, DIGITS, interpret=True)
 
     def decode(arr, t):
         comps = _k_to_comps(arr[t], (), (B,), pad)
@@ -116,8 +116,8 @@ def test_lines_kernel_vs_oracle():
         for j in range(3):
             fp2 = F2.fp2_to_ints(
                 F2.Fp2(
-                    F.Fp(comps[2 * j], 2 * P, F.SETTLED),
-                    F.Fp(comps[2 * j + 1], 2 * P, F.SETTLED),
+                    F.Fp(comps[2 * j], line_bound, F.SETTLED),
+                    F.Fp(comps[2 * j + 1], line_bound, F.SETTLED),
                 ),
                 mont=True,
             )
