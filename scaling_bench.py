@@ -145,7 +145,13 @@ def virtual_section(per_device_batch: int):
     print(out.stderr, file=sys.stderr)
     return {
         "platform": "cpu-virtual",
-        "note": "8-device virtual mesh; validates scaling shape, not TPU speed",
+        "note": "8-device virtual mesh; validates that the SAME sharded "
+        "program compiles+runs at every mesh size. All virtual devices "
+        "share one host thread pool, so per-device throughput falls with "
+        "device count by construction — the efficiency column here "
+        "measures host-core contention, not the communication-free P2 "
+        "mechanism (which adds zero collectives; see the real section "
+        "and parallel/mesh.py).",
         "per_device_batch": per_device_batch,
         "rows": json.loads(out.stdout.strip().splitlines()[-1]),
     }
