@@ -106,12 +106,14 @@ def _cmul_kernel(n_steps, x_ref, out_ref, acc):
         acc[...] = x_ref[...]
 
     m = [acc[i] for i in range(NLIMBS)]
+    zero = m[0] * 0
     u = [None] * WIDE
     for i in range(NLIMBS):
         for j, pj in enumerate(P_INT):
             k = i + j
             term = m[i] * pj
             u[k] = term if u[k] is None else u[k] + term
+    u = [x if x is not None else zero for x in u]
     # fold u back into acc so the work cannot be elided (mask keeps the
     # values in the settled range so the next step's MACs stay int32-safe)
     for i in range(NLIMBS):
