@@ -121,12 +121,38 @@ def _flat_limbs(limbs) -> np.ndarray:
     return a.reshape(-1, NLIMBS)
 
 
+# Largest settled limb the C REDC is proven for: limbs <= 2^18 keep the
+# represented value <= ~32*R, whose reduction quotient stays below the
+# 40-round complete-reduction budget in limbcodec.c (lc_redc).
+_SETTLED_LIMB_MAX = 1 << 18
+
+
+def _check_settled(a: np.ndarray) -> None:
+    """Reject limb batches outside lc_redc's proven input envelope.
+
+    The C path would silently return a wrong residue for limbs above
+    2^18 (value beyond the 32*R*p REDC budget) or negative limbs (cast
+    to uint32); enforce the documented contract here, once, on the
+    public boundary shared by canon_limbs / canon_pack / ints_from_limbs.
+    """
+    if a.size == 0:
+        return
+    lo, hi = int(a.min()), int(a.max())
+    if lo < 0 or hi > _SETTLED_LIMB_MAX:
+        raise ValueError(
+            "canonicalization input exceeds the settled-limb contract: "
+            f"limbs must lie in [0, 2^18] (got min={lo}, max={hi}); "
+            "values this redundant are outside lc_redc's 32*R*p budget"
+        )
+
+
 def canon_limbs(limbs, from_mont: bool) -> np.ndarray:
     """Settled limb batch [..., NLIMBS] -> canonical (< p) limb batch.
 
     ``from_mont``: input is in the device Montgomery domain (x*R mod p).
     """
     a = _flat_limbs(limbs)
+    _check_settled(a)
     lib = _lib()
     if lib is not None:
         out = np.empty_like(a)
@@ -181,6 +207,7 @@ def unpack_bytes(b) -> np.ndarray:
 def canon_pack(limbs, from_mont: bool) -> np.ndarray:
     """Canonicalize + pack in one native pass (streamed-export hot path)."""
     a = _flat_limbs(limbs)
+    _check_settled(a)
     lib = _lib()
     out_shape = np.shape(limbs)[:-1] + (32,)
     if lib is not None:

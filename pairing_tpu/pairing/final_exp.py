@@ -71,7 +71,12 @@ def pow_x_cyclotomic(m: Fq12) -> Fq12:
 def fq12_pow(a: Fq12, e: int) -> Fq12:
     """General static-exponent Fq12 power (pow_native parity,
     final_exp_native.rs:56-84, for arbitrary elements — no cyclotomic
-    assumption, so NAF -1 digits use a true inverse)."""
+    assumption, so NAF -1 digits use a true inverse).
+
+    Runs as a lax.scan over the static NAF digits with branchless operand
+    select (one / a / a^-1), keeping the graph O(1) in |NAF(e)| like the
+    rest of the stack (the inverse is hoisted and computed once, only
+    when the NAF actually contains a -1 digit)."""
     assert e >= 1
     from ..fields.fp12 import fq12_inv
     from ..utils.bn254 import get_naf
@@ -79,18 +84,27 @@ def fq12_pow(a: Fq12, e: int) -> Fq12:
     naf = list(reversed(get_naf(e)))
     assert naf[0] == 1
     a = fq12_cap(a)
-    a_inv = None
-    res = a
-    for d in naf[1:]:
+    if len(naf) == 1:
+        return a
+    digits = np.asarray(naf[1:], dtype=np.int32)
+    # a^-1 feeds the scan only for -1 digits; when NAF(e) has none, pass
+    # `a` as an unused placeholder instead of paying the inversion chain.
+    a_inv = fq12_cap(fq12_inv(a)) if bool((digits == -1).any()) else a
+    one = fq12_cap(F12.fq12_one(a.batch_shape))
+    inner = a.batch_shape
+
+    def body(res_l, digit):
+        res = _fq12_from_limbs(res_l)
         res = F12.fq12_sq(res)
-        if d == 1:
-            res = F12.fq12_mul(res, a)
-        elif d == -1:
-            if a_inv is None:
-                a_inv = fq12_cap(fq12_inv(a))
-            res = F12.fq12_mul(res, a_inv)
-        res = fq12_cap(res)
-    return res
+        mult = F12.fq12_select(jnp.broadcast_to(digit == 1, inner), a, one)
+        mult = F12.fq12_select(
+            jnp.broadcast_to(digit == -1, inner), a_inv, mult
+        )
+        res = F12.fq12_mul(res, mult)
+        return _fq12_to_limbs(fq12_cap(res)), None
+
+    res_l, _ = jax.lax.scan(body, _fq12_to_limbs(a), jnp.asarray(digits))
+    return _fq12_from_limbs(res_l)
 
 
 def easy_part_k(a):

@@ -23,13 +23,15 @@ from ..pairing.miller_loop import fq12_cap
 def fq12_all_reduce_mul(f: Fq12, axis_name: str) -> Fq12:
     """All-reduce by Fq12 multiplication along a shard_map mesh axis.
 
-    Butterfly (recursive doubling): log2(n) rounds of pairwise exchange +
-    local multiply. Requires the axis size to be a power of two (mesh
-    shapes on TPU pods are). Exact integer arithmetic makes the result
-    bit-identical on every shard regardless of schedule.
+    Dispatches on the (static) axis size: a log-depth ppermute butterfly
+    when the size is a power of two (mesh shapes on TPU pods are), the
+    all-gather variant otherwise (e.g. a 3- or 6-wide axis on a partial
+    slice). Both orders are bit-identical: Fq12 multiplication is exact
+    over Z/p, associative, and commutative.
     """
     n = lax.axis_size(axis_name)
-    assert n & (n - 1) == 0, "axis size must be a power of two"
+    if n & (n - 1) != 0:
+        return fq12_reduce_mul_psum_style(f, axis_name)
     shift = 1
     while shift < n:
         perm = []

@@ -115,6 +115,31 @@ def test_unsettled_redundant_inputs(from_mont):
         assert val_of(row) == expect
 
 
+@pytest.mark.parametrize("from_mont", [False, True])
+def test_settled_limb_budget_boundary(from_mont):
+    """All limbs at exactly 2^18 — the documented contract boundary —
+    must still canonicalize by value (value ~32R, quotient < 33p, inside
+    lc_redc's 40-round budget)."""
+    row = np.full((NLIMBS,), 1 << 18, np.int32)
+    v = val_of(row)
+    out = native.canon_limbs(row[None], from_mont=from_mont)[0]
+    expect = (v * R_INV) % P if from_mont else v % P
+    assert val_of(out) == expect
+
+
+@pytest.mark.parametrize("fn", ["canon_limbs", "canon_pack"])
+def test_settled_limb_budget_rejected(fn):
+    """Limbs beyond 2^18 or negative are outside the REDC contract and
+    must raise, not return a wrong residue (round-2 advisor finding)."""
+    too_big = np.full((1, NLIMBS), (1 << 18) + 1, np.int32)
+    negative = np.zeros((1, NLIMBS), np.int32)
+    negative[0, 0] = -1
+    f = getattr(native, fn)
+    for bad in (too_big, negative):
+        with pytest.raises(ValueError, match="settled-limb contract"):
+            f(bad, from_mont=True)
+
+
 def test_python_fallback_paths_agree(monkeypatch):
     """Force the fallback and pin it to the native results."""
     vals = EDGE + RANDOM[:8]

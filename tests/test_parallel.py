@@ -50,6 +50,53 @@ def test_fq12_all_reduce_mul(reduce_fn):
         assert row == expect
 
 
+@pytest.mark.parametrize("n", [3, 6])
+def test_fq12_all_reduce_mul_non_pow2_axis(n):
+    """VERDICT r3 item 7: non-power-of-two axes auto-route to all-gather."""
+    from jax import shard_map
+
+    mesh = M.make_mesh((n,), ("x",), devices=jax.devices()[:n])
+    vals = [[RNG.randrange(MOD) for _ in range(12)] for _ in range(n)]
+    a = F12.fq12_from_int_coeffs(vals)
+
+    fn = shard_map(
+        lambda f: fq12_all_reduce_mul(f, "x"),
+        mesh=mesh,
+        in_specs=(P("x"),),
+        out_specs=P("x"),
+        check_vma=False,
+    )
+    got = F12.fq12_to_int_coeffs(jax.jit(fn)(a))
+    expect = vals[0]
+    for v in vals[1:]:
+        expect = o.fq12_mul(expect, v)
+    for row in got:
+        assert row == expect
+
+
+@pytest.mark.parametrize("n", [3])
+def test_multi_pairing_sharded_non_pow2_mesh(n):
+    """multi_pairing_sharded end-to-end on a non-pow2 mesh (dryrun-style).
+
+    Only n=3 compiles the full pairing graph here (CPU compile of this
+    graph is minutes); the 6-device case is covered at the collective
+    level by test_fq12_all_reduce_mul_non_pow2_axis."""
+    from pairing_tpu.curves import g1 as G1m
+    from pairing_tpu.curves import g2 as G2m
+    from pairing_tpu.utils import bn254 as c
+
+    mesh = M.make_mesh((n,), ("pairs",), devices=jax.devices()[:n])
+    g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(n)]
+    g2s = [
+        o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
+        for _ in range(n)
+    ]
+    out = M.multi_pairing_sharded(mesh, G1m.g1_from_ints(g1s), G2m.g2_from_ints(g2s))
+    got = F12.fq12_to_int_coeffs(out)[0]
+    expect = o.final_exp(o.multi_miller_loop(list(zip(g1s, g2s))))
+    assert got == expect
+
+
 def test_multi_pairing_sharded_matches_oracle():
     from pairing_tpu.curves import g1 as G1m
     from pairing_tpu.curves import g2 as G2m
