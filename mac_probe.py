@@ -34,6 +34,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 DEPTH = 8      # independent chains (ILP)
 INNER = 256    # dependent ops per chain per grid step
 NMXU = 64      # independent matmuls per grid step
+CREPS = 32     # dependent const-muls per grid step (cmul/cmulmx probes):
+               # one VPU const-mul is ~86 ns/tile — far below the axon
+               # relay's +-10 ms jitter at any step count, so the round-3
+               # single-op-per-step windows measured noise (negative
+               # slopes); chaining 32 through the acc feedback makes the
+               # slope window tens of ms.
 
 
 def _vec_kernel(op, n_steps, x_ref, out_ref, acc):
@@ -105,19 +111,21 @@ def _cmul_kernel(n_steps, x_ref, out_ref, acc):
     def _():
         acc[...] = x_ref[...]
 
-    m = [acc[i] for i in range(NLIMBS)]
-    zero = m[0] * 0
-    u = [None] * WIDE
-    for i in range(NLIMBS):
-        for j, pj in enumerate(P_INT):
-            k = i + j
-            term = m[i] * pj
-            u[k] = term if u[k] is None else u[k] + term
-    u = [x if x is not None else zero for x in u]
-    # fold u back into acc so the work cannot be elided (mask keeps the
-    # values in the settled range so the next step's MACs stay int32-safe)
-    for i in range(NLIMBS):
-        acc[i] = (u[i] + u[i + NLIMBS]) & 0x1FFF
+    for _ in range(CREPS):
+        m = [acc[i] for i in range(NLIMBS)]
+        zero = m[0] * 0
+        u = [None] * WIDE
+        for i in range(NLIMBS):
+            for j, pj in enumerate(P_INT):
+                k = i + j
+                term = m[i] * pj
+                u[k] = term if u[k] is None else u[k] + term
+        u = [x if x is not None else zero for x in u]
+        # fold u back into acc so the work cannot be elided (mask keeps
+        # the values in the settled range so the next rep's MACs stay
+        # int32-safe; the feedback makes reps dependent)
+        for i in range(NLIMBS):
+            acc[i] = (u[i] + u[i + NLIMBS]) & 0x1FFF
 
     @pl.when(t == n_steps - 1)
     def _():
@@ -132,21 +140,22 @@ def _cmulmx_kernel(n_steps, mat_ref, x_ref, out_ref, acc):
     def _():
         acc[...] = x_ref[...]
 
-    m = acc[...]  # [NLIMBS, 8, 128] int32, values < 2^13
-    x = jnp.concatenate([m & 0x7F, m >> 7], axis=0)  # [42, 8, 128]
-    x = jnp.pad(x, ((0, 48 - 2 * NLIMBS), (0, 0), (0, 0))).astype(jnp.int8)
-    y = jax.lax.dot_general(
-        mat_ref[...], x,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [4*WIDE, 8, 128]
-    u = (
-        y[:WIDE]
-        + ((y[WIDE : 2 * WIDE] + y[2 * WIDE : 3 * WIDE]) << 7)
-        + (y[3 * WIDE :] << 14)
-    )
-    for i in range(NLIMBS):
-        acc[i] = (u[i] + u[i + NLIMBS]) & 0x1FFF
+    for _ in range(CREPS):
+        m = acc[...]  # [NLIMBS, 8, 128] int32, values < 2^13
+        x = jnp.concatenate([m & 0x7F, m >> 7], axis=0)  # [42, 8, 128]
+        x = jnp.pad(x, ((0, 48 - 2 * NLIMBS), (0, 0), (0, 0))).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            mat_ref[...], x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [4*WIDE, 8, 128]
+        u = (
+            y[:WIDE]
+            + ((y[WIDE : 2 * WIDE] + y[2 * WIDE : 3 * WIDE]) << 7)
+            + (y[3 * WIDE :] << 14)
+        )
+        for i in range(NLIMBS):
+            acc[i] = (u[i] + u[i + NLIMBS]) & 0x1FFF
 
     @pl.when(t == n_steps - 1)
     def _():
@@ -261,15 +270,15 @@ def main():
     for name in which:
         ts = {}
         if name.startswith("cmul"):
-            S0, S1 = 64, 4096
+            S0, S1 = 512, 8192
             for n in (S0, S1):
                 fn = build_cmul(name, n)
                 x = jnp.asarray(
                     rng.randint(0, 8191, (NLIMBS, 8, 128)), jnp.int32)
                 ts[n] = timed(fn, (x,))
                 print(f"  {name} N={n}: {ts[n]*1e3:.2f}ms", flush=True)
-            slope = (ts[S1] - ts[S0]) / (S1 - S0)
-            print(f"{name}: {slope*1e6:.2f}us/const-mul (1024 lanes; "
+            slope = (ts[S1] - ts[S0]) / (S1 - S0) / CREPS
+            print(f"{name}: {slope*1e9:.1f}ns/const-mul (1024 lanes; "
                   f"VPU schoolbook = 441 MACs)", flush=True)
         elif name.startswith("mxu"):
             S0, S1 = 256, 16384

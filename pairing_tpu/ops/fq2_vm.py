@@ -299,6 +299,66 @@ def vm_apply(prog: np.ndarray, in_arr: jnp.ndarray, out_map, nreg: int,
     return out
 
 
+def _vm_kernel_stacked(n_ops, n_in, out_map, nreg, prog_ref, kp_ref, in_ref,
+                       out_ref, regs):
+    for i in range(n_in):
+        for c in range(2):
+            for l in range(NLIMBS):
+                regs[i, c, l] = in_ref[0, i, c, l]
+    run_program(prog_ref, n_ops, regs, kp_ref)
+    for j, r in enumerate(out_map):
+        for c in range(2):
+            for l in range(NLIMBS):
+                out_ref[0, j, c, l] = regs[r, c, l]
+
+
+def vm_apply_stacked(prog: np.ndarray, in_arr: jnp.ndarray, out_map,
+                     nreg: int, interpret=None) -> jnp.ndarray:
+    """Run a program once per (batch tile, stack entry).
+
+    in_arr: [S, n_in, 2, NLIMBS, R, 128] — one independent program run per
+    stack entry s (registers 0..n_in-1 preloaded from in_arr[s]). Returns
+    [S, len(out_map), 2, NLIMBS, R, 128]. Used for per-state maps over a
+    trajectory stack (e.g. the witness path's Jacobian->affine export).
+    """
+    if interpret is None:
+        from .fq12_kernels import on_tpu
+
+        interpret = not on_tpu()
+    S, n_in = in_arr.shape[0], in_arr.shape[1]
+    nrows = in_arr.shape[4]
+    assert nrows % 8 == 0
+    grid = (nrows // 8, S)
+    n_out = len(out_map)
+
+    out = pl.pallas_call(
+        partial(
+            _vm_kernel_stacked, prog.shape[0], n_in, tuple(out_map), nreg
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (S, n_out, 2, NLIMBS, nrows, 128), jnp.int32
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, n_in, 2, NLIMBS, 8, 128),
+                lambda bt, s: (s, 0, 0, 0, bt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_out, 2, NLIMBS, 8, 128),
+            lambda bt, s: (s, 0, 0, 0, bt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((nreg, 2, NLIMBS, 8, 128), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(prog), jnp.asarray(_kp_table()), in_arr)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Host-side layout helpers for vm_apply
 # ---------------------------------------------------------------------------

@@ -169,7 +169,9 @@ def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
     [12, NLIMBS, R, 128]; with ``collect`` also the per-step accumulator
     stream [steps, 12, NLIMBS, R, 128] (the witness path's f_steps,
     miller_loop_target.rs:132-311) — production runs keep collect off to
-    skip the per-step HBM writeback.
+    skip the per-step HBM writeback. ``collect`` composes with the fused
+    epilogue: trailing flag==2 rows hold the post-epilogue accumulator
+    (row [-1] == the returned f); the Miller-step rows are [:n_loop].
 
     ``ep_arr``: [n_ep, n_pairs*6, NLIMBS, R, 128] epilogue-line blocks for
     the trailing flag==2 steps (kept as a separate input so the 64-step
@@ -178,9 +180,6 @@ def miller_f_pallas(tg_arr: jnp.ndarray, ch_arr: jnp.ndarray,
     """
     from .jit_cache import cached_jit
 
-    assert not (collect and any(int(f) == 2 for f in flags)), (
-        "witness collection runs the 64-step schedule (no fused epilogue)"
-    )
     n_ep = sum(1 for f in flags if int(f) == 2)
     assert n_ep == 0 or (
         ep_arr is not None
@@ -616,6 +615,112 @@ def pow_ladder_stream_pallas(stream: jnp.ndarray, digits: np.ndarray,
         jnp.asarray(np.asarray(digits, np.int32)),
         stream,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bit-ladder exponentiation with per-step row collection (witness offload)
+# ---------------------------------------------------------------------------
+#
+# The C12 exp-offload AIR (final_exp_target.rs:89-147) constrains the
+# *bit* ladder row_s = row_{s-1}^2 * x^{b_s} from row_{-1} = 1 — not the
+# NAF ladder the production kernels run — so witness generation needs a
+# dedicated kernel that follows the bit schedule and streams every row to
+# HBM. Squarings use the Granger-Scott cyclotomic core: the offload only
+# ever runs on easy-part outputs (cyclotomic subgroup, where cyc-sq is
+# value-identical to the dense square), and the witness contract
+# (witness/serialize.py: "montgomery-redundant-2p") is value-level, so
+# any settled <2p representative of the row value is a valid column.
+
+
+def _exp_bits_kernel(n_steps, bit_ref, x_ref, out_ref, rows_ref, fA, fB):
+    t = pl.program_id(1)
+    zero = x_ref[0, 0] * 0
+
+    @pl.when(t == 0)
+    def _():
+        _write_one(fA, zero)
+
+    # row_s = row_{s-1}^2 (fA -> fB) ...
+    _cyc_step(_ref_get(fA), fB)
+
+    b = bit_ref[t]
+
+    # ... * x on set bits (fB -> fA)
+    @pl.when(b != 0)
+    def _():
+        _mul_core_v2(_ref_get(fB), _ref_get(x_ref), _ref_out(fA))
+
+    @pl.when(b == 0)
+    def _():
+        _copy_f(fA, fB)
+
+    for c in range(12):
+        for l in range(NLIMBS):
+            rows_ref[0, c, l] = fA[c, l]
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        for c in range(12):
+            for l in range(NLIMBS):
+                out_ref[c, l] = fA[c, l]
+
+
+def exp_bits_ladder_pallas(x_arr: jnp.ndarray, bits, interpret=None):
+    """x^e with e given as MSB-first bits, emitting all ladder rows.
+
+    x_arr: kernel layout [12, NLIMBS, R, 128], cyclotomic-subgroup values.
+    Returns (out, rows) with rows [len(bits), 12, NLIMBS, R, 128] — the
+    per-bit AIR rows (rows[-1] == out; the offset multiply is the
+    caller's, final_exp_target.rs:91-95 uses offset = 1)."""
+    from .jit_cache import cached_jit
+
+    if interpret is None:
+        from .fq12_kernels import on_tpu
+
+        interpret = not on_tpu()
+    key = ("exp_bits", tuple(int(b) for b in bits), bool(interpret))
+    return cached_jit(
+        key, lambda: lambda x: _exp_bits_impl(x, bits, interpret)
+    )(x_arr)
+
+
+def _exp_bits_impl(x_arr, bits, interpret):
+    n_steps = len(bits)
+    nrows = x_arr.shape[2]
+    assert nrows % 8 == 0
+    grid = (nrows // 8, n_steps)
+
+    kern = partial(_exp_bits_kernel, n_steps)
+    fixed_block = pl.BlockSpec(
+        (12, NLIMBS, 8, 128), lambda bt, t: (0, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rows_block = pl.BlockSpec(
+        (1, 12, NLIMBS, 8, 128), lambda bt, t: (t, 0, 0, bt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out, rows = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct(x_arr.shape, jnp.int32),
+            jax.ShapeDtypeStruct((n_steps,) + x_arr.shape, jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), fixed_block],
+        out_specs=(fixed_block, rows_block),
+        scratch_shapes=[
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+            pltpu.VMEM((12, NLIMBS, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(np.asarray(bits, np.int32)), x_arr)
+    return out, rows
+
+
+#: MSB-first 64-bit decomposition of BN_X (the exp-offload exponent).
+BN_X_BITS_MSB = np.asarray(
+    [(BN_X >> (63 - i)) & 1 for i in range(64)], np.int32
+)
 
 
 def pow_x_streamed(m_arr: jnp.ndarray, interpret=None) -> jnp.ndarray:

@@ -124,6 +124,19 @@ def hard_part_k(m):
     transposes between ops (the round-1 bottleneck)."""
     from ..ops import klayout as KL
 
+    mx = KL.kpow_x(m)
+    mx2 = KL.kpow_x(mx)
+    mx3 = KL.kpow_x(mx2)
+    return hard_part_chain_k(m, mx, mx2, mx3)
+
+
+def hard_part_chain_k(m, mx, mx2, mx3):
+    """The hard-part accumulation chain given the three x-powers
+    (final_exp_native.rs:130-169 with mx/mx2/mx3 precomputed — the shape
+    the circuit side uses after the exp offload, final_exp_target.rs:
+    65-150). KF12 in/out."""
+    from ..ops import klayout as KL
+
     mul, conj, frob, csq = KL.kmul, KL.kconj, KL.kfrob, KL.kcyc_sq
 
     mp = frob(m, 1)
@@ -132,13 +145,10 @@ def hard_part_k(m):
 
     y0 = mul(mp, mul(mp2, mp3))
     y1 = conj(m)
-    mx = KL.kpow_x(m)
     mxp = frob(mx, 1)
-    mx2 = KL.kpow_x(mx)
     mx2p = frob(mx2, 1)
     y2 = frob(mx2, 2)
     y5 = conj(mx2)
-    mx3 = KL.kpow_x(mx2)
     mx3p = frob(mx3, 1)
 
     y3 = conj(mxp)

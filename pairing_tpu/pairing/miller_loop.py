@@ -24,6 +24,7 @@ once and multiplies k tangent/chord lines.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
 import jax
@@ -209,7 +210,29 @@ def _trajectory_pallas(q: G2):
 # ---------------------------------------------------------------------------
 
 
-def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
+@lru_cache(maxsize=None)
+def _affine_export_program(bx: int, by: int):
+    """VM program: (X, Y, zinv) -> (X*zinv^2, Y*zinv^3) per stack state.
+
+    Used by the witness path to materialize the affine trajectory
+    (serialize.py r_affine stack) from the streams the resident pipeline
+    already carries; the production path folds the affine conversion into
+    the lines kernel and never materializes it."""
+    from ..ops.fq2_vm import Fq2Assembler
+
+    a = Fq2Assembler(7)
+    a.set_bound(0, bx)  # X
+    a.set_bound(1, by)  # Y
+    a.set_bound(2, 2 * F.P)  # zinv (running_inverse output envelope)
+    a.sq(3, 2)  # zi^2
+    a.mul(4, 3, 2)  # zi^3
+    a.mul(5, 0, 3)  # affine x
+    a.mul(6, 1, 4)  # affine y
+    return a.table(), (5, 6), 7
+
+
+def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool,
+                            collect: bool = False):
     """Phases B→N→C→D + epilogue with every stage in kernel layout.
 
     Dataflow (all [.., L, R, 128] int32; no batch-last round-trips):
@@ -217,7 +240,10 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
       lines kernel (affine fold-in) → fused f kernel → epilogue sparse
       muls. Only the single end/st91 states and the Fq2 total-inverse
       make (tiny) XLA excursions. Returns Fq12, or (f_arr, inner, pad)
-      when ``keep_k``.
+      when ``keep_k``; with ``collect`` returns (result, trace) where the
+      trace carries the full witness payload (per-step f, affine
+      trajectory, line coefficients — miller_loop_target.rs:132-311) on
+      the same kernel-resident schedule as production.
     """
     from ..ops.curve_kernels import trajectory_bounds, trajectory_pallas
     from ..ops.fq12_kernels import from_kernel_layout
@@ -315,16 +341,83 @@ def _miller_pallas_resident(qs: G2, ps: G1, K: int, inner, keep_k: bool):
     e2 = lines.line_unequal(aff_st91.x, aff_st91.y, nq2.x, nq2.y, px, py)
 
     flags_np = np.asarray([1 if d != 0 else 0 for d in STEP_DIGITS], np.int32)
-    f_arr = _fused_miller_with_epilogue(
+    f_arr, fs_arr = _fused_miller_with_epilogue(
         split_k(tg_s), split_k(ch_s), e1, e2, flags_np, K, nrows_kb,
-        line_bound=line_bound,
+        line_bound=line_bound, collect=collect,
     )
 
     nrows_in = f_arr.shape[2]
     inner_pad = nrows_in * 128 - int(np.prod(inner, dtype=np.int64))
-    if keep_k:
-        return f_arr, inner, inner_pad
-    return from_kernel_layout(f_arr, inner, inner_pad)
+    result = (
+        (f_arr, inner, inner_pad)
+        if keep_k
+        else from_kernel_layout(f_arr, inner, inner_pad)
+    )
+    if not collect:
+        return result
+
+    # ---- witness trace assembly (kernel-resident producers) ----
+    from ..ops.fq2_vm import vm_apply_stacked
+
+    # Affine trajectory stack [130, K, *inner] in serialize.py order
+    # (tops 0..63, post-doubles 64..127, end 128, st91 129).
+    n_states = 2 * N_STEPS + 2
+    xy_stack = jnp.concatenate(
+        [
+            tops_k[:, 0:4],
+            dbls_k[:, 0:4],
+            end_k[None, 0:4],
+            st91_k[None, 0:4],
+        ],
+        axis=0,
+    )  # [130, 4, L, R, 128]
+    prog, outs, nreg = _affine_export_program(
+        max(bx, bxd, 2 * F.P), max(by, byd, 2 * F.P)
+    )
+    vm_in = jnp.concatenate(
+        [
+            xy_stack.reshape(n_states, 2, 2, F.NLIMBS, nrows_kb, 128),
+            zinv[:, None],
+        ],
+        axis=1,
+    )  # [130, 3(regs X, Y, zi), 2, L, R, 128]
+    aff_arr = vm_apply_stacked(prog, vm_in, outs, nreg)
+    aff_c = _k_to_comps(
+        aff_arr.reshape(n_states, 4, F.NLIMBS, nrows_kb, 128),
+        (n_states,), kbatch, pad,
+    )
+    mk2 = lambda c0, c1: Fp2(
+        F.Fp(c0, 2 * F.P, F.SETTLED), F.Fp(c1, 2 * F.P, F.SETTLED)
+    )
+    aff = G2(mk2(aff_c[0], aff_c[1]), mk2(aff_c[2], aff_c[3]))
+
+    # Line streams -> Fp2 stacks (tg: all 64 steps; ch: the 25 add steps)
+    def lines_to_fp2(arr):
+        c6 = _k_to_comps(arr, (arr.shape[0],), kbatch, pad)
+        return tuple(
+            Fp2(
+                F.Fp(c6[2 * j], line_bound, F.SETTLED),
+                F.Fp(c6[2 * j + 1], line_bound, F.SETTLED),
+            )
+            for j in range(3)
+        )
+
+    tg_trace = lines_to_fp2(tg_s)
+    ch_trace = lines_to_fp2(ch_s[jnp.asarray(np.asarray(ADD_STEPS, np.int32))])
+
+    c12 = _k_to_comps(fs_arr[:N_STEPS], (N_STEPS,), inner, inner_pad)
+    f_steps = tuple((c12[2 * i], c12[2 * i + 1]) for i in range(6))
+
+    trace = {
+        "f_steps": f_steps,
+        "r_affine": aff,
+        "tangent_lines": tg_trace,
+        "chord_lines": ch_trace,
+        "epilogue_lines": (e1, e2),
+        "q1": q1,
+        "neg_q2": nq2,
+    }
+    return result, trace
 
 
 # ---------------------------------------------------------------------------
@@ -358,8 +451,9 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
     # K > 1 needs the per-pair lane split to be pad-free.
     lanes = K * int(np.prod(inner, dtype=np.int64))
     resident_ok = K == 1 or (lanes % 1024 == 0 and lanes // K % 128 == 0)
-    if dispatch.use_pallas() and not collect_trace and resident_ok:
-        return _miller_pallas_resident(qs, ps, K, inner, keep_k)
+    if dispatch.use_pallas() and resident_ok:
+        return _miller_pallas_resident(qs, ps, K, inner, keep_k,
+                                       collect=collect_trace)
 
     # Phase B: trajectories for all pairs at once ([K, ...] batch) —
     # fused VM kernel on TPU, lax.scan elsewhere. The pallas trajectory
@@ -479,7 +573,7 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
             # Epilogue multiplies fused into the f kernel
             # (miller_loop_native.rs:274-280).
             nrows = arr.shape[3] * K
-            f_arr = _fused_miller_with_epilogue(
+            f_arr, _ = _fused_miller_with_epilogue(
                 arr, ch_arr, e1, e2, flags_np, K, nrows
             )
             if keep_k:
@@ -579,20 +673,25 @@ def _ep_lines_to_stream(line3, K, nrows):
 
 
 def _fused_miller_with_epilogue(tg_arr, ch_arr, e1, e2, flags_np, K, nrows,
-                                line_bound: int = 0):
+                                line_bound: int = 0, collect: bool = False):
     """Run the f-accumulation with the two Frobenius-line multiplies
     (miller_loop_native.rs:274-280) fused as trailing chord-only steps —
     no per-pair host-side kernel launches (the multiply order across
     pairs differs from the reference's per-pair order, which is
-    value-identical: Fq12 multiplication is commutative)."""
+    value-identical: Fq12 multiplication is commutative).
+
+    Returns (f_arr, fs_arr): ``fs_arr`` is the per-step accumulator
+    stream (witness f_steps; rows [:64] are the Miller steps) when
+    ``collect``, else None."""
     from ..ops.fused_kernels import miller_f_pallas
 
     ep = jnp.stack(
         [_ep_lines_to_stream(list(e), K, nrows) for e in (e1, e2)]
     )  # [2, K*6, L, r_in, 128]
     flags_full = np.concatenate([flags_np, np.asarray([2, 2], np.int32)])
-    return miller_f_pallas(tg_arr, ch_arr, flags_full, K, ep_arr=ep,
-                           line_bound=line_bound)
+    out = miller_f_pallas(tg_arr, ch_arr, flags_full, K, ep_arr=ep,
+                          line_bound=line_bound, collect=collect)
+    return out if collect else (out, None)
 
 
 def _lines_to_kernel_layout(line3, K):

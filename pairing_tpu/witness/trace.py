@@ -114,9 +114,60 @@ def final_exp_witness(m: Fq12) -> Tuple[Fq12, Dict]:
 
     Follows the circuit-side structure (final_exp_target.rs:65-150): the
     three x-power exponentiations are routed through the batched
-    ``fq12_exp_u64`` offload (exp inputs recorded like
-    Fq12ExpU64InputTarget), everything else is the easy/hard-part chain.
+    exp offload (inputs recorded like Fq12ExpU64InputTarget), everything
+    else is the easy/hard-part chain. On the Pallas backend the whole
+    thing is kernel-resident (the bit-ladder rows stream out of a fused
+    kernel); elsewhere it runs the XLA ``fq12_exp_u64`` scans.
     """
+    from ..ops import dispatch
+
+    if dispatch.use_pallas():
+        from ..ops.fq12_kernels import to_kernel_layout
+
+        arr, bs, pad = to_kernel_layout(fq12_cap(m))
+        return final_exp_witness_k(arr, bs, pad)
+    return _final_exp_witness_xla(m)
+
+
+def final_exp_witness_k(arr, bs, pad) -> Tuple[Fq12, Dict]:
+    """Kernel-resident final-exp witness: easy part, three bit-ladder
+    exp offloads with per-row collection (the C12 AIR rows,
+    final_exp_target.rs:89-147), and the hard-part chain — all on the
+    kernel layout; one layout conversion per trace array at the end."""
+    from ..ops.fq12_kernels import from_kernel_layout
+    from ..ops.fused_kernels import BN_X_BITS_MSB, exp_bits_ladder_pallas
+    from ..pairing.final_exp import easy_part_k, hard_part_chain_k
+    from ..pairing.miller_loop import _k_to_comps
+
+    f0 = easy_part_k(arr)
+    mx, rows0 = exp_bits_ladder_pallas(f0, BN_X_BITS_MSB)
+    mx2, rows1 = exp_bits_ladder_pallas(mx, BN_X_BITS_MSB)
+    mx3, rows2 = exp_bits_ladder_pallas(mx2, BN_X_BITS_MSB)
+    out_arr = hard_part_chain_k(f0, mx, mx2, mx3)
+
+    back = lambda a: from_kernel_layout(a, bs, pad)
+
+    def rows_tree(rows):
+        c12 = _k_to_comps(rows, (rows.shape[0],), bs, pad)
+        return tuple((c12[2 * i], c12[2 * i + 1]) for i in range(6))
+
+    f0_f = back(f0)
+    mxs = (back(mx), back(mx2), back(mx3))
+    exp_bits = exp_bits_from_u64(_bn_x(), bs)
+    one = F12.fq12_one(bs)
+    trace = {
+        "easy_part_out": f0_f,
+        "exp_inputs": [
+            ExpU64Input(x=v, offset=one, exp_bits=exp_bits)
+            for v in (f0_f, mxs[0], mxs[1])
+        ],
+        "exp_trace_rows": [rows_tree(r) for r in (rows0, rows1, rows2)],
+        "exp_outputs": mxs,
+    }
+    return back(out_arr), trace
+
+
+def _final_exp_witness_xla(m: Fq12) -> Tuple[Fq12, Dict]:
     f0 = FE.easy_part(m)
 
     exp_bits = exp_bits_from_u64(_bn_x(), f0.batch_shape)
@@ -170,9 +221,27 @@ def final_exp_witness(m: Fq12) -> Tuple[Fq12, Dict]:
 
 
 def pairing_witness(p: G1, q: G2) -> Tuple[Fq12, Dict]:
-    """pairing_circuit analogue (pairing.rs:24-38): full pairing + traces."""
-    f, mtrace = miller_loop_witness(q, p)
-    out, ftrace = final_exp_witness(f)
+    """pairing_circuit analogue (pairing.rs:24-38): full pairing + traces.
+
+    On the Pallas backend the Miller output stays in the kernel layout
+    between the two stages (no transpose round-trip); the trace arrays
+    themselves are converted once at the end of each stage."""
+    from ..ops import dispatch
+
+    res = _miller_core(
+        _add_pairs_axis(q), _add_pairs_axis(p),
+        collect_trace=True, keep_k=dispatch.use_pallas(),
+    )
+    result, mtrace = res
+    if isinstance(result, tuple):
+        from ..ops.fq12_kernels import from_kernel_layout
+
+        f_arr, inner, pad = result
+        f = from_kernel_layout(f_arr, inner, pad)
+        out, ftrace = final_exp_witness_k(f_arr, inner, pad)
+    else:
+        f = result
+        out, ftrace = final_exp_witness(f)
     return out, {"miller": mtrace, "final_exp": ftrace, "miller_out": f}
 
 

@@ -156,6 +156,7 @@ def main():
         import tempfile
 
         from pairing_tpu.witness import (
+            check_pairing_constraints,
             load_pairing_witness,
             save_pairing_witness,
             verify_pairing_witness,
@@ -176,6 +177,8 @@ def main():
             meta, data = load_pairing_witness(path)
             counts = verify_pairing_witness(meta, data)  # raises on failure
             assert counts
+            # limb-level AIR identities over the same columns
+            assert check_pairing_constraints(meta, data)
 
     def t_subgroup_check():
         bad = None
