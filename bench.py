@@ -66,6 +66,11 @@ def main() -> None:
     print(f"# device: {dev}", file=sys.stderr)
 
     assert not (args.multi and args.witness), "--multi and --witness are exclusive"
+    if args.witness:
+        # the full trace is ~0.6 GB / 2048 lanes; pipelined batches are
+        # all live on the chip at once, so cap the dispatch depth to keep
+        # total trace residency around one 8192-lane batch (v5e: 16 GB)
+        args.pipeline = min(args.pipeline, max(1, 8192 // args.batch))
     K = max(0, args.multi)
     n_points = args.batch * max(1, K)
     rng = random.Random(7)
