@@ -26,7 +26,7 @@ from ..fields.fp import NLIMBS, R_MOD_P, SETTLED, _const_limbs
 from ..utils.bn254 import BN_X, BN_X_NAF
 from . import kernel_core as K
 from .fq12_kernels import (
-    _mul_core_v2,
+    _mul_core_v3,
     _sparse_core_v2,
     _sq_core_v2,
 )
@@ -308,7 +308,7 @@ def _pow_kernel(n_steps, dig_ref, m_ref, mc_ref, out_ref, fA, fB):
         def b_get(c, l):
             return jnp.where(d == 1, m_ref[c, l], mc_ref[c, l])
 
-        _mul_core_v2(_ref_get(fB), b_get, _ref_out(fA))
+        _mul_core_v3(_ref_get(fB), b_get, _ref_out(fA))
 
     @pl.when(d == 0)
     def _():
@@ -440,9 +440,9 @@ def _pow_w4_kernel(n_steps, dig_ref, m_ref, out_ref, fA, fB, tab):
         for c in range(12):
             for l in range(NLIMBS):
                 tab[0, c, l] = m_ref[c, l]
-        _mul_core_v2(_ref_get(fB), _ref_get(m_ref), _tab_out(tab, 1))
-        _mul_core_v2(_ref_get(fB), lambda c, l: tab[1, c, l], _tab_out(tab, 2))
-        _mul_core_v2(_ref_get(fB), lambda c, l: tab[2, c, l], _tab_out(tab, 3))
+        _mul_core_v3(_ref_get(fB), _ref_get(m_ref), _tab_out(tab, 1))
+        _mul_core_v3(_ref_get(fB), lambda c, l: tab[1, c, l], _tab_out(tab, 2))
+        _mul_core_v3(_ref_get(fB), lambda c, l: tab[2, c, l], _tab_out(tab, 3))
         # init: res = table[digits[0]] (top digit; no squaring)
         sel = _tab_select_get(tab, dig_ref[0])
         for c in range(12):
@@ -457,7 +457,7 @@ def _pow_w4_kernel(n_steps, dig_ref, m_ref, out_ref, fA, fB, tab):
 
     @pl.when((t != 0) & (d != 0))
     def _():
-        _mul_core_v2(_ref_get(fB), _tab_select_get(tab, d), _ref_out(fA))
+        _mul_core_v3(_ref_get(fB), _tab_select_get(tab, d), _ref_out(fA))
 
     @pl.when((t != 0) & (d == 0))
     def _():
@@ -558,7 +558,7 @@ def _pow_stream_kernel(n_steps, row_ref, dig_ref, s_ref, out_ref, fA, fB):
 
     @pl.when((t != 0) & (d != 0))
     def _():
-        _mul_core_v2(_ref_get(fB), s_get, _ref_out(fA))
+        _mul_core_v3(_ref_get(fB), s_get, _ref_out(fA))
 
     @pl.when((t != 0) & (d == 0))
     def _():
@@ -648,7 +648,7 @@ def _exp_bits_kernel(n_steps, bit_ref, x_ref, out_ref, rows_ref, fA, fB):
     # ... * x on set bits (fB -> fA)
     @pl.when(b != 0)
     def _():
-        _mul_core_v2(_ref_get(fB), _ref_get(x_ref), _ref_out(fA))
+        _mul_core_v3(_ref_get(fB), _ref_get(x_ref), _ref_out(fA))
 
     @pl.when(b == 0)
     def _():

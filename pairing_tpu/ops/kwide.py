@@ -249,6 +249,17 @@ def kw_sub(x: KW, y: KW) -> KW:
     )
 
 
+def kw_neg(x: KW) -> KW:
+    """-x: positions negate, positive/negative bounds swap (exact)."""
+    return KW(
+        [-p for p in x.pos],
+        x.nb,
+        x.pb,
+        x.vneg,
+        x.vhi,
+    )
+
+
 def kw_scale(x: KW, s: int) -> KW:
     assert s > 0
     return KW(
@@ -269,6 +280,10 @@ def kw2_add(x: KWPair, y: KWPair) -> KWPair:
 
 def kw2_sub(x: KWPair, y: KWPair) -> KWPair:
     return (kw_sub(x[0], y[0]), kw_sub(x[1], y[1]))
+
+
+def kw2_neg(x: KWPair) -> KWPair:
+    return (kw_neg(x[0]), kw_neg(x[1]))
 
 
 def kw2_xi(x: KWPair) -> KWPair:

@@ -38,8 +38,10 @@ from pairing_tpu.fields.fp import NLIMBS
 from pairing_tpu.ops import kernel_core as K
 from pairing_tpu.ops.fq12_kernels import (
     _mul_core_v2,
+    _mul_core_v3,
     _sparse_core_v2,
     _sq_core_v2,
+    _sq_core_v3,
 )
 from pairing_tpu.ops.fused_kernels import S034, _copy_f, _ref_get, _ref_out
 
@@ -115,6 +117,36 @@ def _sq_kernel(n_steps, s_ref, out_ref, fA, fB):
         _seed_f(fA, s_ref)
 
     _sq_core_v2(_ref_get(fA), _ref_out(fB))
+    _copy_f(fA, fB)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        _emit(out_ref, fA)
+
+
+def _mul3_kernel(n_steps, s_ref, out_ref, fA, fB):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        _seed_f(fA, s_ref)
+
+    _mul_core_v3(_ref_get(fA), _stream_b_get(s_ref), _ref_out(fB))
+    _copy_f(fA, fB)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        _emit(out_ref, fA)
+
+
+def _sq3_kernel(n_steps, s_ref, out_ref, fA, fB):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        _seed_f(fA, s_ref)
+
+    _sq_core_v3(_ref_get(fA), _ref_out(fB))
     _copy_f(fA, fB)
 
     @pl.when(t == n_steps - 1)
@@ -240,6 +272,14 @@ def build(kind, n_steps, flags_val=0):
         kern, in_specs, scratch = (
             partial(_sq_kernel, n_steps), [_stream_spec()],
             [scr12(), scr12()])
+    elif kind == "mul3":
+        kern, in_specs, scratch = (
+            partial(_mul3_kernel, n_steps), [_stream_spec()],
+            [scr12(), scr12()])
+    elif kind == "sq3":
+        kern, in_specs, scratch = (
+            partial(_sq3_kernel, n_steps), [_stream_spec()],
+            [scr12(), scr12()])
     elif kind in ("sparse", "when"):
         kern = partial(_sparse_kernel, n_steps, kind == "when")
         in_specs = [smem(), _stream_spec()]
@@ -284,8 +324,8 @@ def timed(fn, stream, reps=10):
     return best
 
 
-ALL = ["noop", "mul", "sq", "sparse", "when0", "when1", "cyc",
-       "dyn", "stat", "ladder0", "ladder1"]
+ALL = ["noop", "mul", "mul3", "sq", "sq3", "sparse", "when0", "when1",
+       "cyc", "dyn", "stat", "ladder0", "ladder1"]
 
 
 def main():

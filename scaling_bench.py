@@ -83,7 +83,12 @@ def measure(per_device_batch: int, n_devices: int, iters: int = 3):
     return batch / best, batch
 
 
-def real_section(per_device_batch: int):
+def real_section(per_device_batch: int,
+                 batch_sweep=(2048, 4096, 8192, 16384)):
+    """Device-count rows (all attached devices) plus a per-device batch
+    sweep: on a one-chip environment the sweep is the informative axis
+    (fixed dispatch/relay cost amortization -> marginal cost per
+    pairing); the device rows extend it when a mesh is attached."""
     import jax
 
     rows = []
@@ -103,11 +108,23 @@ def real_section(per_device_batch: int):
             }
         )
         print(f"real {n} dev: {pps:.0f}/s ({pps/n:.0f}/dev)", file=sys.stderr)
+    sweep = []
+    for b in batch_sweep:
+        pps, _ = measure(b, 1)
+        sweep.append(
+            {
+                "batch": b,
+                "pairings_per_sec": round(pps, 1),
+                "us_per_pairing": round(1e6 / pps, 2),
+            }
+        )
+        print(f"real batch {b}: {pps:.0f}/s", file=sys.stderr)
     return {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "per_device_batch": per_device_batch,
         "rows": rows,
+        "batch_sweep": sweep,
     }
 
 
