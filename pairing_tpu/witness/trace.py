@@ -226,11 +226,20 @@ def pairing_witness(p: G1, q: G2) -> Tuple[Fq12, Dict]:
     On the Pallas backend the Miller output stays in the kernel layout
     between the two stages (no transpose round-trip); the trace arrays
     themselves are converted once at the end of each stage."""
+    return multi_pairing_witness(_add_pairs_axis(p), _add_pairs_axis(q))
+
+
+def multi_pairing_witness(ps: G1, qs: G2) -> Tuple[Fq12, Dict]:
+    """Groth16-shape witness: the product of K pairings with shared
+    squarings (multi_miller_loop_BN_native, miller_loop_native.rs:192)
+    and ONE final exponentiation, with the full per-transition trace —
+    what an in-circuit product-of-pairings check (the Groth16 verifier
+    shape, SURVEY.md §3.4) would constrain. ``ps``/``qs`` carry a leading
+    pairs axis K."""
     from ..ops import dispatch
 
     res = _miller_core(
-        _add_pairs_axis(q), _add_pairs_axis(p),
-        collect_trace=True, keep_k=dispatch.use_pallas(),
+        qs, ps, collect_trace=True, keep_k=dispatch.use_pallas(),
     )
     result, mtrace = res
     if isinstance(result, tuple):

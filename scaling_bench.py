@@ -41,8 +41,14 @@ def measure(per_device_batch: int, n_devices: int, iters: int = 3):
     import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # TPU runs share the TPU compile cache; CPU runs (tests, the virtual
+    # section) must NOT be pointed at it — XLA:CPU AOT entries written by
+    # a machine with different CPU features SIGILL on load, and the test
+    # suite may run concurrently with a TPU bench (conftest already set a
+    # feature-keyed CPU cache dir for tests).
+    if jax.devices()[0].platform == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from pairing_tpu.curves import g1 as G1m
     from pairing_tpu.curves import g2 as G2m

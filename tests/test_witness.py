@@ -113,6 +113,34 @@ def test_final_exp_witness():
     assert F12.fq12_to_int_coeffs(tr["easy_part_out"]) == [f0]
 
 
+def test_multi_pairing_witness_serialize_verify(tmp_path):
+    """Groth16-shape witness (K=2 product, shared squarings, one final
+    exp): end-to-end trace -> npz -> replay verification."""
+    from pairing_tpu.witness import (
+        load_pairing_witness,
+        save_pairing_witness,
+        verify_pairing_witness,
+    )
+
+    K = 2
+    g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(K)]
+    g2s = [
+        o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
+        for _ in range(K)
+    ]
+    ps = G1m.g1_from_ints(g1s)
+    qs = G2m.g2_from_ints(g2s)
+    out, tr = jax.jit(W.multi_pairing_witness)(ps, qs)
+    expect = o.final_exp(o.multi_miller_loop(list(zip(g1s, g2s))))
+    assert F12.fq12_to_int_coeffs(out) == [expect]
+    path = str(tmp_path / "mw.npz")
+    save_pairing_witness(path, ps, qs, out, tr)
+    meta, data = load_pairing_witness(path)
+    assert meta["k"] == K
+    counts = verify_pairing_witness(meta, data)
+    assert counts
+
+
 def test_multi_miller_witness():
     # reference test_multi_miller_loop_target analogue (SURVEY.md §4 tier 2)
     K = 2

@@ -180,6 +180,46 @@ def main():
             # limb-level AIR identities over the same columns
             assert check_pairing_constraints(meta, data)
 
+    def t_witness_multi():
+        # K=2 Groth16-shape witness through the RESIDENT collect path
+        # (lanes = K * inner = 1024, the per-pair lane-split case): the
+        # trace must replay-verify with shared squarings across pairs
+        import tempfile
+
+        import jax.numpy as _jnp
+
+        from pairing_tpu.witness import (
+            load_pairing_witness,
+            save_pairing_witness,
+            verify_pairing_witness,
+        )
+        from pairing_tpu.witness.trace import multi_pairing_witness
+
+        K, B = 2, 512
+        g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(K * B)]
+        g2s = [
+            o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
+            for _ in range(K * B)
+        ]
+        resh = lambda a: _jnp.moveaxis(a.reshape((B, K) + a.shape[1:]), 0, 1)
+        p = jax.tree.map(resh, G1m.g1_from_ints(g1s))
+        q = jax.tree.map(resh, G2m.g2_from_ints(g2s))
+        dispatch.force_backend("pallas")
+        try:
+            out, trace = multi_pairing_witness(p, q)
+        finally:
+            dispatch.force_backend(None)
+        got = F12.fq12_to_int_coeffs(out)
+        for b in range(2):
+            pairs = [(g1s[K * b + j], g2s[K * b + j]) for j in range(K)]
+            assert got[b] == o.final_exp(o.multi_miller_loop(pairs))
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/mw.npz"
+            save_pairing_witness(path, p, q, out, trace)
+            meta, data = load_pairing_witness(path)
+            assert meta["k"] == K
+            assert verify_pairing_witness(meta, data, lanes=[0, 1])
+
     def t_subgroup_check():
         bad = None
         for x0 in range(1, 200):
@@ -196,14 +236,25 @@ def main():
             dispatch.force_backend(None)
         assert mask.tolist() == [True, False]
 
-    check("klayout conj/frob/cyc/inv", t_klayout_ops)
-    check("fp_inv pallas ladder", t_fp_inv)
-    check("pow_x pallas ladder", t_pow_ladder)
-    check("full pairing pallas backend", t_pairing)
-    check("repeat-run determinism", t_determinism)
-    check("multi-miller K=4 group split", t_multi_k4)
-    check("witness trace on fused kernel", t_witness_kernel)
-    check("G2 subgroup validation", t_subgroup_check)
+    checks = [
+        ("klayout conj/frob/cyc/inv", t_klayout_ops),
+        ("fp_inv pallas ladder", t_fp_inv),
+        ("pow_x pallas ladder", t_pow_ladder),
+        ("full pairing pallas backend", t_pairing),
+        ("repeat-run determinism", t_determinism),
+        ("multi-miller K=4 group split", t_multi_k4),
+        ("witness trace on fused kernel", t_witness_kernel),
+        ("multi-pairing witness K=2 (resident collect)", t_witness_multi),
+        ("G2 subgroup validation", t_subgroup_check),
+    ]
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    ran = 0
+    for name, fn in checks:
+        if only and not any(s.lower() in name.lower() for s in only):
+            continue
+        check(name, fn)
+        ran += 1
+    assert ran, f"no check matches filter {only}"
     print("ALL PASS", flush=True)
 
 
