@@ -194,7 +194,13 @@ def _mul_core_v3(a_get, b_get, out_set):
 
 
 def _sq_core_v3(a_get, out_set):
-    """Dense Fq12 square: 36 wide muls (two-level Karatsuba)."""
+    """Dense Fq12 square: 36 wide muls (two-level Karatsuba).
+
+    PROBE-ONLY: measured end-to-end neutral vs _sq_core_v2 (the 6 saved
+    wide muls are offset by the longer sum-block live ranges), so the
+    production square path stays on v2; this core is exercised by
+    probe_bench.py and kept bit-exact by tests/test_fq12_cores_v2.py.
+    """
     A = [_k2_read(a_get, i) for i in range(6)]
     AS = [W.k2_sum(A[i], A[i + 3]) for i in range(3)]
     acc = [None] * 6

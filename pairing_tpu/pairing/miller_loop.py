@@ -450,7 +450,9 @@ def _miller_core(qs: G2, ps: G1, collect_trace: bool = False,
     # streams per-pair line blocks so any K works with constant VMEM.
     # K > 1 needs the per-pair lane split to be pad-free.
     lanes = K * int(np.prod(inner, dtype=np.int64))
-    resident_ok = K == 1 or (lanes % 1024 == 0 and lanes // K % 128 == 0)
+    # K > 1 resident runs split the padded lane space per pair, so each
+    # pair's share must itself tile to whole (8, 128) f-kernel blocks.
+    resident_ok = K == 1 or (lanes % 1024 == 0 and lanes // K % 1024 == 0)
     if dispatch.use_pallas() and resident_ok:
         return _miller_pallas_resident(qs, ps, K, inner, keep_k,
                                        collect=collect_trace)

@@ -1,12 +1,12 @@
 """Limb-level AIR constraint evaluator for serialized pairing witnesses.
 
 :mod:`pairing_tpu.witness.verify` replays the recorded transitions at the
-VALUE level (host bigints).  This module is the missing constraint-system
-consumer (VERDICT r3 item 3): it checks the *limb-level polynomial
-identities* a starky-style AIR would enforce over the npz columns — the
-same semantic payload as the reference's in-circuit pairing
-(`pairing_circuit`, /root/reference/src/pairing.rs:24-38; the per-row AIR
-of `fq12_exp_u64_circuit`, /root/reference/src/final_exp_target.rs:89-147;
+VALUE level (host bigints).  This module is the constraint-system consumer
+(VERDICT r3 item 3): it checks the *limb-level polynomial identities* a
+starky-style AIR would enforce over the npz columns — the same semantic
+payload as the reference's in-circuit pairing (`pairing_circuit`,
+/root/reference/src/pairing.rs:24-38; the per-row AIR of
+`fq12_exp_u64_circuit`, /root/reference/src/final_exp_target.rs:89-147;
 `Fq12Target::connect`, final_exp_target.rs:142-147) — proving that the
 schema documented in :mod:`pairing_tpu.witness.serialize` is actually
 constrainable.
@@ -34,19 +34,17 @@ A single perturbed limb anywhere in a committed column changes the wide
 vector by +-2^(13*i) * (partner operand), which is not a multiple of p,
 so the division leaves a nonzero tail and the row is rejected.
 
-Auxiliary columns (chord/tangent slopes, x^2 helpers, Fq12 inverses and
-intermediate products of multi-factor chains) are what an AIR prover
-would commit alongside the trace; the evaluator *derives* them
-deterministically from the committed columns (value-level math, exactly
-like witness generators fill plonky2 wires) and then holds every identity
-— including the ones binding aux to committed columns — at the limb
-level.  Perturbations cannot hide in aux derivation: any aux chain both
-starts and ends at committed columns, so a perturbed input makes the
-chain's final committed output fail its identity.
+Derivation-free (schema v2): every auxiliary wire — chord/tangent slopes,
+x^2 helpers, the easy-part Fq12 inverse, and ALL intermediate products of
+the multi-factor mul chains — is **committed in the npz** by the witness
+generator (:mod:`pairing_tpu.witness.aux`), exactly like the reference's
+witness generators fill every plonky2 wire before constraints check them
+(pairing.rs:77-78).  This evaluator therefore does *zero* value
+derivation: it is pure vectorized numpy int64 convolution + Hensel
+division over committed columns, fast enough to run full-batch.
 
-Cost: O(lanes * steps) vectorized numpy int64 work plus the aux bigint
-pass; like verify.py, this is a validation tool — use ``lanes`` to spot
-check big batches.
+Cost: O(lanes * steps) vectorized numpy; use ``lanes`` to spot check
+huge batches, or run full-batch (throughput recorded in PERF.md).
 """
 
 from __future__ import annotations
@@ -56,7 +54,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..fields.fp import NLIMBS, P_LIMBS, RADIX, RADIX_BITS, int_to_limbs
-from ..oracle import native as o
 from ..utils.bn254 import P, TWIST_C2, TWIST_C3, frob_coeff_pow
 
 L = NLIMBS
@@ -161,47 +158,27 @@ def _identity(
 
 
 # ---------------------------------------------------------------------------
-# Column plumbing: committed npz limbs and derived (aux) limbs
+# Column plumbing: committed npz limb columns + public constants
 # ---------------------------------------------------------------------------
 
 _R = 1 << (RADIX_BITS * L)
 
 
-def _val_fn(meta):
-    p = int(meta["p"])
-    rinv = pow(int(meta["r_mont"]), -1, p)
-    radix = meta["radix_bits"]
-
-    def val(limbs) -> int:
-        x = 0
-        for v in reversed(np.asarray(limbs, dtype=np.int64)):
-            x = (x << radix) + int(v)
-        return x * rinv % p
-
-    return val
-
-
-def _mont_limbs(v: int) -> np.ndarray:
-    """Canonical Montgomery limb row of a value (aux-column commitment)."""
+def _const_mont_row(v: int) -> np.ndarray:
+    """Canonical Montgomery limb row of a public CONSTANT (not a witness
+    value — AIR constants are baked into the constraint polynomials)."""
     return int_to_limbs((v % P) * _R % P).astype(np.int64)[None, :]
 
 
-def _mont_stack(vals: Sequence[int]) -> np.ndarray:
-    return np.stack(
-        [int_to_limbs((v % P) * _R % P).astype(np.int64) for v in vals]
-    )
-
-
-_ONE_M = _mont_limbs(1)
+_ONE_M = _const_mont_row(1)
 _ZERO = np.zeros((1, L), dtype=np.int64)
 
 
 def _const_fq2(c: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
-    return _mont_limbs(c[0]), _mont_limbs(c[1])
+    return _const_mont_row(c[0]), _const_mont_row(c[1])
 
 
 Fq2Col = Tuple[np.ndarray, np.ndarray]  # (c0 [N, L], c1 [N, L])
-Fq12Col = List[np.ndarray]  # 12 coeff rows [N, L], MyFq12 order
 
 
 def _fq2_neg(a: Fq2Col) -> Fq2Col:
@@ -318,14 +295,6 @@ def _sparse12(slots: Dict[int, Fq2Col], n: int) -> np.ndarray:
     return out
 
 
-def _fq12_cols_from_vals(vals: Sequence[Sequence[int]]) -> np.ndarray:
-    """Aux Fq12 values -> canonical Montgomery columns [N, 12, L]."""
-    return np.stack([
-        np.stack([int_to_limbs((int(c) % P) * _R % P).astype(np.int64) for c in row])
-        for row in vals
-    ])
-
-
 def _frob_check(
     where: str,
     report: Dict[str, int],
@@ -359,10 +328,10 @@ def check_pairing_constraints(
     lanes: Optional[Sequence[int]] = None,
 ) -> Dict[str, int]:
     """Evaluate the full limb-level constraint system over a loaded witness
-    (schema: witness/serialize.py docstring sections 1-6).  Raises
-    :class:`ConstraintError` on any violated identity; returns the
-    per-identity-group pass-count report."""
-    val = _val_fn(meta)
+    (schema: witness/serialize.py docstring sections 1-6, aux columns per
+    witness/aux.py).  Pure numpy over committed columns — no value
+    derivation.  Raises :class:`ConstraintError` on any violated identity;
+    returns the per-identity-group pass-count report."""
     K = meta["k"]
     naf = meta["naf"]
     add_steps = list(meta["add_steps"])
@@ -394,10 +363,8 @@ def check_pairing_constraints(
         a = arr.astype(np.int64)
         return (a[:, 0, :], a[:, 1, :])
 
-    def fq2_val(col: Fq2Col, r: int) -> Tuple[int, int]:
-        return (val(col[0][r]), val(col[1][r]))
-
     sel = np.asarray(lanes, dtype=np.int64)
+    n_lane = len(lanes)
 
     # ======================= 1. trajectory ==============================
     # stack doubles over (t, k, lane); committed states:
@@ -426,28 +393,13 @@ def check_pairing_constraints(
         ax: Fq2Col, ay: Fq2Col,      # committed input point A
         bx: Fq2Col, by: Fq2Col,      # committed partner B
         ox: Fq2Col, oy: Fq2Col,      # committed output A + B
+        mu_c: Fq2Col,                # committed aux slope column
     ):
-        """Chord-slope addition identities with derived aux slope mu:
+        """Chord-slope addition identities over the committed slope mu:
           (a) mu*(B.x - A.x) == B.y - A.y
           (b) O.x == mu^2 - A.x - B.x
           (c) O.y == mu*(A.x - O.x) - A.y
-        (the AIR's aux column; verify.py recomputes the add by value)."""
-        nrows = ax[0].shape[0]
-        mus0, mus1 = [], []
-        for r in range(nrows):
-            A = (fq2_val(ax, r), fq2_val(ay, r))
-            Bp = (
-                fq2_val(bx, r % bx[0].shape[0]),
-                fq2_val(by, r % by[0].shape[0]),
-            )
-            from ..utils.bn254 import fq2_inv, fq2_mul as f2m
-
-            mu = f2m(
-                o.fq2_sub(Bp[1], A[1]), fq2_inv(o.fq2_sub(Bp[0], A[0]))
-            )
-            mus0.append(mu[0])
-            mus1.append(mu[1])
-        mu_c: Fq2Col = (_mont_stack(mus0), _mont_stack(mus1))
+        (the AIR's aux column, committed by witness/aux.py)."""
         _fq2_mul_check(
             where + ".slope", report, mu_c, _fq2_sub(bx, ax),
             out=_fq2_sub(by, ay), out_shift=L,
@@ -461,21 +413,11 @@ def check_pairing_constraints(
             out=(oy[0] + ay[0], oy[1] + ay[1]), out_shift=L,
         )
 
-    # doubling D_t = 2*T_t with derived aux slope lambda:
+    # doubling D_t = 2*T_t with committed aux slope lambda:
     #   (a) lam * 2*T.y == 3*T.x^2
     #   (b) D.x == lam^2 - 2*T.x
     #   (c) D.y == lam*(T.x - D.x) - T.y
-    nrows = tops_x[0].shape[0]
-    lam0, lam1 = [], []
-    from ..utils.bn254 import fq2_inv, fq2_mul as f2m
-
-    for r in range(nrows):
-        x = fq2_val(tops_x, r)
-        y = fq2_val(tops_y, r)
-        lam = f2m(o.fq2_scale(f2m(x, x), 3), fq2_inv(o.fq2_scale(y, 2)))
-        lam0.append(lam[0])
-        lam1.append(lam[1])
-    lam_c: Fq2Col = (_mont_stack(lam0), _mont_stack(lam1))
+    lam_c = fq2_cols(data["tg_lambda"][:, :, sel].reshape(-1, 2, L))
     _fq2_mul_check(
         "traj_double.slope", report, lam_c, (2 * tops_y[0], 2 * tops_y[1]),
         extra_products0=[(tops_x[0], tops_x[0], -3), (tops_x[1], tops_x[1], 3)],
@@ -492,8 +434,6 @@ def check_pairing_constraints(
 
     # additions at nonzero NAF digits: T_{t+1} = D_t + sgn*Q; zero digits:
     # T_{t+1} == D_t (pure copy identity).
-    n_lane = len(lanes)
-
     def pick(cols: Fq2Col, steps: List[int]) -> Fq2Col:
         c0 = cols[0].reshape(n_steps, K * n_lane, L)
         c1 = cols[1].reshape(n_steps, K * n_lane, L)
@@ -517,18 +457,22 @@ def check_pairing_constraints(
             fq2_cols(np.concatenate(ys)),
         )
 
+    ch_mu = data["ch_mu"][:, :, sel]  # [n_adds, K, n, 2, L]
     zero_steps = [t for t in range(n_steps) if digits[t] == 0]
     for sgn in (1, -1):
-        steps = [t for t in range(n_steps) if digits[t] == sgn]
-        if not steps:
+        jts = [(j, t) for j, t in enumerate(add_steps) if digits[t] == sgn]
+        if not jts:
             continue
+        js = [j for j, _ in jts]
+        steps = [t for _, t in jts]
         dx, dy = pick(dbls_x, steps), pick(dbls_y, steps)
         ox, oy = next_top(steps)
         reps = len(steps)
         bx = (np.tile(qx[0], (reps, 1)), np.tile(qx[1], (reps, 1)))
         by_sign = qy if sgn > 0 else _fq2_neg(qy)
         by = (np.tile(by_sign[0], (reps, 1)), np.tile(by_sign[1], (reps, 1)))
-        mixed_add_checks(f"traj_add.{sgn}", dx, dy, bx, by, ox, oy)
+        mu_c = fq2_cols(ch_mu[js].reshape(-1, 2, L))
+        mixed_add_checks(f"traj_add.{sgn}", dx, dy, bx, by, ox, oy, mu_c)
     if zero_steps:
         dx, dy = pick(dbls_x, zero_steps), pick(dbls_y, zero_steps)
         ox, oy = next_top(zero_steps)
@@ -537,7 +481,7 @@ def check_pairing_constraints(
 
     # epilogue points: Q1 = twisted_frobenius(Q) = (C2*conj(Qx), C3*conj(Qy));
     # -Q2 = (C2*conj(Q1x), C3*neg_conj(Q1y)) (miller_loop_native.rs:298-312);
-    # S = E + Q1 (mixed add).
+    # S = E + Q1 (mixed add over the committed ep_mu slope).
     q1x = fq2_cols(data["q1_x"][:, sel].reshape(-1, 2, L))
     q1y = fq2_cols(data["q1_y"][:, sel].reshape(-1, 2, L))
     nq2x = fq2_cols(data["nq2_x"][:, sel].reshape(-1, 2, L))
@@ -549,7 +493,10 @@ def check_pairing_constraints(
     _fq2_mul_check("nq2.x", report, _fq2_conj(q1x), C2, out=nq2x)
     # neg_conjugate: -(conj(y)) = (-y0, y1)
     _fq2_mul_check("nq2.y", report, (-q1y[0], q1y[1]), C3, out=nq2y)
-    mixed_add_checks("st91", end_x, end_y, q1x, q1y, s91_x, s91_y)
+    ep_mu_c = fq2_cols(data["ep_mu"][:, sel].reshape(-1, 2, L))
+    mixed_add_checks(
+        "st91", end_x, end_y, q1x, q1y, s91_x, s91_y, ep_mu_c
+    )
 
     # ======================= 2. line coefficients ========================
     px = data["p_x"][:, sel].reshape(-1, L).astype(np.int64)  # [K*n, L]
@@ -557,14 +504,8 @@ def check_pairing_constraints(
     px_t = np.tile(px, (n_steps, 1))
     py_t = np.tile(py, (n_steps, 1))
 
-    # aux: sqx = T.x^2 (committed-by-derivation square helper)
-    sq0, sq1 = [], []
-    for r in range(nrows):
-        x = fq2_val(tops_x, r)
-        s2 = f2m(x, x)
-        sq0.append(s2[0])
-        sq1.append(s2[1])
-    sqx: Fq2Col = (_mont_stack(sq0), _mont_stack(sq1))
+    # committed x^2 helper wire, bound by its own identity
+    sqx = fq2_cols(data["tg_sqx"][:, :, sel].reshape(-1, 2, L))
     _fq2_mul_check("tg_sqx", report, tops_x, tops_x, out=sqx)
 
     tg = data["tg_lines"][:, :, sel].reshape(n_steps * K * n_lane, 3, 2, L)
@@ -640,6 +581,8 @@ def check_pairing_constraints(
     )
 
     # ============ 3-6. Fq12 product constraints (one big batch) ==========
+    # Every operand below is a COMMITTED column; intermediates of the
+    # multi-factor chains are the schema-v2 aux entries (witness/aux.py).
     mb = MulBatch()
     f_steps = data["f_steps"][:, sel].astype(np.int64)  # [64, n, 12, L]
     m_out = data["miller_out"][sel].astype(np.int64)  # [n, 12, L]
@@ -648,17 +591,9 @@ def check_pairing_constraints(
     exp_outs = data["exp_outs"][:, sel].astype(np.int64)  # [3, n, 12, L]
     final_out = data["final_out"][sel].astype(np.int64)
 
-    def fq12_vals(cols: np.ndarray) -> List[List[int]]:
-        return [[val(row[i]) for i in range(12)] for row in cols]
-
-    def aux12(vals: List[List[int]]) -> np.ndarray:
-        return _fq12_cols_from_vals(vals)
-
     one12 = _sparse12({0: (_ONE_M, _ZERO)}, 1)
+    one_b = np.broadcast_to(one12, (n_lane, 12, L))
 
-    # --- 3. Miller f-recurrence: f_t = f_{t-1}^2 * prod_k tg * [prod_k ch]
-    # with aux intermediates between chained multiplies; the last factor's
-    # product lands on the committed f_t row.
     tg_kn = data["tg_lines"][:, :, sel].astype(np.int64)  # [64, K, n, 3, 2, L]
     ch_kn = data["ch_lines"][:, :, sel].astype(np.int64)
     ep_kn = data["ep_lines"][:, :, sel].astype(np.int64)
@@ -685,127 +620,160 @@ def check_pairing_constraints(
             n,
         )
 
-    prev = np.broadcast_to(one12, (n_lane, 12, L))
-    prev_vals = [[1] + [0] * 11 for _ in lanes]
-    j_of = {t: j for j, t in enumerate(add_steps)}
+    # --- 3. Miller f-recurrence over committed chain columns:
+    #   f_sq[t] == f_{t-1}^2 (one vectorized stack; f_{-1} = 1), then
+    #   factor-by-factor products through the committed f_mid wires with
+    #   the last factor landing on f_steps[t].
+    f_sq = data["f_sq"][:, sel].astype(np.int64)  # [64, n, 12, L]
+    f_mid = data["f_mid"][:, sel].astype(np.int64)  # [n_mid, n, 12, L]
+    prev_stack = np.concatenate([one_b[None], f_steps[:-1]])  # [64, n, ...]
+    mb.add(
+        prev_stack.reshape(-1, 12, L),
+        prev_stack.reshape(-1, 12, L),
+        f_sq.reshape(-1, 12, L),
+    )
+
+    mid_index: Dict[Tuple[int, int], int] = {}
+    ctr = 0
     for t in range(n_steps):
-        # factors of this step, as committed sparse operands
-        factors = [line12_034(tg_kn[t, k]) for k in range(K)]
-        if digits[t] != 0:
-            factors += [line12_235(ch_kn[j_of[t], k]) for k in range(K)]
-        # chain: cur = prev^2, then cur *= factor ... last lands on f_t
-        cur_vals = [o.fq12_mul(v, v) for v in prev_vals]
-        cur = aux12(cur_vals)
-        mb.add(prev, prev, cur)
-        for fi, fac in enumerate(factors):
-            fac_vals = fq12_vals(fac)
-            nxt_vals = [o.fq12_mul(a, b) for a, b in zip(cur_vals, fac_vals)]
-            last = fi == len(factors) - 1
-            nxt = f_steps[t] if last else aux12(nxt_vals)
-            mb.add(cur, fac, nxt)
-            cur, cur_vals = nxt, nxt_vals
-        prev, prev_vals = f_steps[t], fq12_vals(f_steps[t])
+        n_factors = K * (2 if digits[t] != 0 else 1)
+        for fi in range(n_factors - 1):
+            mid_index[(t, fi)] = ctr
+            ctr += 1
+    if ctr != data["f_mid"].shape[0]:
+        raise ConstraintError(
+            f"f_mid has {data['f_mid'].shape[0]} rows, schema requires {ctr}"
+        )
 
-    # epilogue: miller_out = f_63 * ep0_k ... * ep1_k (pair order)
-    cur, cur_vals = prev, prev_vals
-    ep_factors = [line12_235(ep_kn[j, k]) for k in range(K) for j in (0, 1)]
-    for fi, fac in enumerate(ep_factors):
-        fac_vals = fq12_vals(fac)
-        nxt_vals = [o.fq12_mul(a, b) for a, b in zip(cur_vals, fac_vals)]
-        nxt = m_out if fi == len(ep_factors) - 1 else aux12(nxt_vals)
-        mb.add(cur, fac, nxt)
-        cur, cur_vals = nxt, nxt_vals
+    def chain_target(t: int, fi: int) -> np.ndarray:
+        n_factors = K * (2 if digits[t] != 0 else 1)
+        if fi == n_factors - 1:
+            return f_steps[t]
+        return f_mid[mid_index[(t, fi)]]
 
-    # --- 4. easy part: i = m^-1 (aux; m*i == 1), e2 = conj(m)*i,
-    # fe2 = frob^2(e2) (const-mul identities), easy_out = fe2 * e2.
-    m_vals = fq12_vals(m_out)
-    i_vals = [o.fq12_inv(v) for v in m_vals]
-    i_cols = aux12(i_vals)
-    mb.add(m_out, i_cols, np.broadcast_to(one12, (n_lane, 12, L)))
-    e2_vals = [o.fq12_mul(o.fq12_conj(v), iv) for v, iv in zip(m_vals, i_vals)]
-    e2 = aux12(e2_vals)
-    mb.add(_fq12_conj_cols(m_out), i_cols, e2)
-    fe2_vals = [o.frobenius_map(v, 2) for v in e2_vals]
-    fe2 = aux12(fe2_vals)
+    cur = f_sq
+    for k in range(K):
+        fac = line12_034(tg_kn[:, k].reshape(-1, 3, 2, L)).reshape(
+            n_steps, n_lane, 12, L
+        )
+        nxt = np.stack([chain_target(t, k) for t in range(n_steps)])
+        mb.add(
+            cur.reshape(-1, 12, L),
+            fac.reshape(-1, 12, L),
+            nxt.reshape(-1, 12, L),
+        )
+        cur = nxt
+    n_adds = len(add_steps)
+    cur_a = cur[add_steps]
+    for k in range(K):
+        fac = line12_235(ch_kn[:, k].reshape(-1, 3, 2, L)).reshape(
+            n_adds, n_lane, 12, L
+        )
+        nxt = np.stack([chain_target(t, K + k) for t in add_steps])
+        mb.add(
+            cur_a.reshape(-1, 12, L),
+            fac.reshape(-1, 12, L),
+            nxt.reshape(-1, 12, L),
+        )
+        cur_a = nxt
+
+    # epilogue: miller_out = f_63 * ep0_k * ep1_k ... through ep_mid wires
+    ep_mid = data["ep_mid"][:, sel].astype(np.int64)
+    if data["ep_mid"].shape[0] != 2 * K - 1:
+        raise ConstraintError(
+            f"ep_mid has {data['ep_mid'].shape[0]} rows, schema requires {2*K-1}"
+        )
+    cur_e = f_steps[n_steps - 1]
+    idx = 0
+    for k in range(K):
+        for j in (0, 1):
+            fac = line12_235(ep_kn[j, k])
+            last = idx == 2 * K - 1
+            nxt = m_out if last else ep_mid[idx]
+            mb.add(cur_e, fac, nxt)
+            cur_e = nxt
+            idx += 1
+
+    # --- 4. easy part over committed wires: inv_m (m*inv_m == 1),
+    # easy_mid = conj(m)*inv_m, easy_frob = frob^2(easy_mid),
+    # easy_out = easy_frob * easy_mid  (final_exp_native.rs:195-206).
+    inv_m = data["inv_m"][sel].astype(np.int64)
+    e2 = data["easy_mid"][sel].astype(np.int64)
+    fe2 = data["easy_frob"][sel].astype(np.int64)
+    mb.add(m_out, inv_m, one_b)
+    mb.add(_fq12_conj_cols(m_out), inv_m, e2)
     _frob_check("easy_frob2", report, e2, fe2, 2)
     mb.add(fe2, e2, easy_out)
 
-    # --- 5. exp-offload ladders (the C12 AIR, final_exp_target.rs:89-147):
-    # row_s = row_{s-1}^2 * x^{b_s}, base x_r in {easy_out, exp_outs[0..1]}
+    # --- 5. exp-offload ladders (the C12 AIR, final_exp_target.rs:89-147)
+    # over committed square wires: g_s == row_{s-1}^2 (uniform, row_{-1}=1),
+    # then row_s == g_s * x when b_s == 1, row_s == g_s otherwise.
+    exp_sq = data["exp_sq"][:, :, sel].astype(np.int64)  # [3, 64, n, 12, L]
     bits_msb = list(reversed(bits_lsb))
+    n_bits = len(bits_msb)
     bases = [easy_out, exp_outs[0], exp_outs[1]]
-    for r in range(3):
-        x_cols = bases[r]
-        x_vals = fq12_vals(x_cols)
-        # row_0 = x^{b_0} from row_{-1} = 1
-        if bits_msb[0]:
-            _ident_rows(report, f"exp_row0.{r}", exp_rows[r, 0], x_cols)
-        else:
-            _ident_rows(
-                report, f"exp_row0.{r}", exp_rows[r, 0],
-                np.broadcast_to(one12, (n_lane, 12, L)),
-            )
-        for s in range(1, 64):
-            prev_r = exp_rows[r, s - 1]
-            if bits_msb[s]:
-                g_vals = [
-                    o.fq12_mul(v, v) for v in fq12_vals(prev_r)
-                ]
-                g = aux12(g_vals)
-                mb.add(prev_r, prev_r, g)
-                mb.add(g, x_cols, exp_rows[r, s])
-            else:
-                mb.add(prev_r, prev_r, exp_rows[r, s])
-        # splice: exp_outs[r] = offset * row_63, offset = 1
-        _ident_rows(report, f"exp_splice.{r}", exp_rows[r, 63], exp_outs[r])
-
-    # --- 6. hard part (final_exp_native.rs:130-169) --------------------
-    def hard_mul(a_cols, a_vals, b_cols, b_vals, out_cols=None):
-        vals = [o.fq12_mul(x, y) for x, y in zip(a_vals, b_vals)]
-        cols = out_cols if out_cols is not None else aux12(vals)
-        mb.add(a_cols, b_cols, cols)
-        return cols, vals
-
-    e_vals = fq12_vals(easy_out)
-    mxs = [(exp_outs[i], fq12_vals(exp_outs[i])) for i in range(3)]
-
-    frobs = {}
-    for src_cols, src_vals, pw, name in (
-        (easy_out, e_vals, 1, "m1"),
-        (easy_out, e_vals, 2, "m2"),
-        (easy_out, e_vals, 3, "m3"),
-        (mxs[0][0], mxs[0][1], 1, "mx1"),
-        (mxs[1][0], mxs[1][1], 1, "mx21"),
-        (mxs[1][0], mxs[1][1], 2, "mx22"),
-        (mxs[2][0], mxs[2][1], 1, "mx31"),
-    ):
-        fv = [o.frobenius_map(v, pw) for v in src_vals]
-        fc = aux12(fv)
-        _frob_check(f"hard_frob.{name}", report, src_cols, fc, pw)
-        frobs[name] = (fc, fv)
-
-    conj12 = lambda cols, vals: (
-        _fq12_conj_cols(cols), [o.fq12_conj(v) for v in vals]
+    prev_rows = np.concatenate(
+        [np.broadcast_to(one_b, (3, 1, n_lane, 12, L)), exp_rows[:, :-1]],
+        axis=1,
     )
+    mb.add(
+        prev_rows.reshape(-1, 12, L),
+        prev_rows.reshape(-1, 12, L),
+        exp_sq.reshape(-1, 12, L),
+    )
+    ones_idx = [s for s in range(n_bits) if bits_msb[s]]
+    zeros_idx = [s for s in range(n_bits) if not bits_msb[s]]
+    for r in range(3):
+        if ones_idx:
+            g = exp_sq[r, ones_idx].reshape(-1, 12, L)
+            x = np.broadcast_to(
+                bases[r], (len(ones_idx), n_lane, 12, L)
+            ).reshape(-1, 12, L)
+            rr = exp_rows[r, ones_idx].reshape(-1, 12, L)
+            mb.add(g, x, rr)
+        if zeros_idx:
+            _ident_rows(
+                report, f"exp_copy.{r}",
+                exp_sq[r, zeros_idx].reshape(-1, 12, L),
+                exp_rows[r, zeros_idx].reshape(-1, 12, L),
+            )
+        # splice: exp_outs[r] = offset * row_63, offset = 1
+        _ident_rows(report, f"exp_splice.{r}", exp_rows[r, -1], exp_outs[r])
 
-    y0 = hard_mul(*frobs["m1"], *hard_mul(*frobs["m2"], *frobs["m3"]))
-    y1 = conj12(easy_out, e_vals)
-    y2 = frobs["mx22"]
-    y3 = conj12(*frobs["mx1"])
-    y4 = conj12(*hard_mul(mxs[0][0], mxs[0][1], *frobs["mx21"]))
-    y5 = conj12(mxs[1][0], mxs[1][1])
-    y6 = conj12(*hard_mul(mxs[2][0], mxs[2][1], *frobs["mx31"]))
-
-    sq6 = hard_mul(*y6, *y6)
-    t0 = hard_mul(*hard_mul(*sq6, *y4), *y5)
-    t1 = hard_mul(*hard_mul(*y3, *y5), *t0)
-    t0 = hard_mul(*y2, *t0)
-    t1 = hard_mul(*hard_mul(*t1, *t1), *t0)
-    t1 = hard_mul(*t1, *t1)
-    ta = hard_mul(*t1, *y1)
-    tb = hard_mul(*t1, *y0)
-    ta2 = hard_mul(*ta, *ta)
-    hard_mul(*ta2, *tb, out_cols=final_out)
+    # --- 6. hard part (final_exp_native.rs:130-169) over committed
+    # frobenius wires + chain intermediates; conjugations are sign folds.
+    hf = data["hard_frob"][:, sel].astype(np.int64)  # [7, n, 12, L]
+    hm = data["hard_mid"][:, sel].astype(np.int64)  # [16, n, 12, L]
+    frob_srcs = (
+        ("m1", easy_out, 1), ("m2", easy_out, 2), ("m3", easy_out, 3),
+        ("mx1", exp_outs[0], 1), ("mx21", exp_outs[1], 1),
+        ("mx22", exp_outs[1], 2), ("mx31", exp_outs[2], 1),
+    )
+    for i, (name, src, pw) in enumerate(frob_srcs):
+        _frob_check(f"hard_frob.{name}", report, src, hf[i], pw)
+    m1f, m2f, m3f, mx1f, mx21f, mx22f, mx31f = hf
+    (h0, y0, y4p, y6p, sq6, t0a, t0, t1a,
+     t1, t0b, t1b, t1c, t1d, ta, tb, ta2) = hm
+    Cj = _fq12_conj_cols
+    y1, y2, y3 = Cj(easy_out), mx22f, Cj(mx1f)
+    y4, y5, y6 = Cj(y4p), Cj(exp_outs[1]), Cj(y6p)
+    mb.add(m2f, m3f, h0)
+    mb.add(m1f, h0, y0)
+    mb.add(exp_outs[0], mx21f, y4p)
+    mb.add(exp_outs[2], mx31f, y6p)
+    mb.add(y6, y6, sq6)
+    mb.add(sq6, y4, t0a)
+    mb.add(t0a, y5, t0)
+    mb.add(y3, y5, t1a)
+    mb.add(t1a, t0, t1)
+    mb.add(y2, t0, t0b)
+    mb.add(t1, t1, t1b)
+    mb.add(t1b, t0b, t1c)
+    mb.add(t1c, t1c, t1d)
+    mb.add(t1d, y1, ta)
+    mb.add(t1d, y0, tb)
+    mb.add(ta, ta, ta2)
+    mb.add(ta2, tb, final_out)
 
     mb.check("fq12_mul", report)
     return report

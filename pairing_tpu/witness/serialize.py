@@ -43,6 +43,18 @@ Entries
   exp_outs             [3, B, 12, L]   mx, mx2, mx3
   final_out            [B, 12, L]      pairing result
 
+Aux (prover-committed) entries — schema v2
+------------------------------------------
+The witness generator also commits every auxiliary wire an AIR needs, so
+the npz is a SELF-CONTAINED trace (the reference's fill-all-wires model,
+pairing.rs:77-78) and the constraint evaluator does no derivation. See
+:mod:`pairing_tpu.witness.aux` for shapes and exact semantics:
+``tg_lambda``, ``tg_sqx``, ``ch_mu``, ``ep_mu`` (slope / square helper
+wires of rules 1-2), ``f_sq``, ``f_mid``, ``ep_mid`` (Miller chain
+intermediates of rule 3), ``inv_m``, ``easy_mid``, ``easy_frob`` (rule
+4), ``exp_sq`` (rule 5 ladder squares), ``hard_frob``, ``hard_mid``
+(rule 6 chain).
+
 Constraint schema (what a downstream AIR enforces per transition)
 ------------------------------------------------------------------
 This section is the circuit-side contract — the polynomial identities a
@@ -144,7 +156,7 @@ from ..fields.fp12 import Fq12
 from ..utils.bn254 import BN_X, P, SIX_U_PLUS_2_NAF
 from ..pairing.miller_loop import ADD_STEPS, N_STEPS
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def _np(x) -> np.ndarray:
@@ -249,6 +261,9 @@ def save_pairing_witness(path: str, p: G1, q: G2, out: Fq12,
         "add_steps": list(ADD_STEPS),
         "n_steps": N_STEPS,
     }
+    from . import aux as AUX
+
+    entries.update(AUX.compute_aux_columns(meta, entries))
     np.savez_compressed(path, meta=np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     ), **entries)

@@ -116,7 +116,7 @@ def test_constraints_accept_valid_witness(witness_file):
         "ch_line.1.c2.c0", "ep_line.0.c5.c0", "ep_line.1.c2.c1",
         "easy_frob2.s0", "hard_frob.m1.s3",
         "fq12_mul.s0.c0", "fq12_mul.s5.c1",
-        "exp_row0.0", "exp_splice.2",
+        "exp_copy.0", "exp_splice.2",
     ):
         n = sum(v for k, v in report.items() if k.startswith(prefix))
         assert n > 0, f"identity group {prefix} never ran"
@@ -138,6 +138,20 @@ PERTURB = [
     ("exp_rows", (1, 20, 0, 7, 1)),
     ("exp_outs", (2, 0, 4, 6)),
     ("final_out", (0, 9, 10)),
+    # schema-v2 committed aux wires: perturbations must be rejected too
+    ("tg_lambda", (17, 0, 0, 0, 6)),
+    ("tg_sqx", (30, 0, 0, 1, 12)),
+    ("ch_mu", (4, 0, 0, 1, 3)),
+    ("ep_mu", (0, 0, 0, 8)),
+    ("f_sq", (22, 0, 5, 14)),
+    ("f_mid", (9, 0, 8, 2)),
+    ("ep_mid", (0, 0, 11, 4)),
+    ("inv_m", (0, 1, 9)),
+    ("easy_mid", (0, 6, 0)),
+    ("easy_frob", (0, 10, 17)),
+    ("exp_sq", (2, 33, 0, 4, 7)),
+    ("hard_frob", (3, 0, 2, 11)),
+    ("hard_mid", (12, 0, 7, 19)),
 ]
 
 
@@ -156,3 +170,63 @@ def test_exp_bits_perturbation_rejected(witness_file):
     data["exp_bits"][5] ^= 1
     with pytest.raises(ConstraintError):
         check_pairing_constraints(meta, data, lanes=[0])
+
+
+# ---------------------------------------------------------------------------
+# K=2 multi-pairing layout (VERDICT r4 item 3): the shared-squaring chain
+# loops factors over meta["k"]; exercise the K-path end to end.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def multi_witness_file(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from pairing_tpu.witness.trace import multi_pairing_witness
+
+    K, B = 2, 1
+    g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(K * B)]
+    g2s = [
+        o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
+        for _ in range(K * B)
+    ]
+    resh = lambda a: jnp.moveaxis(a.reshape((B, K) + a.shape[1:]), 0, 1)
+    p = jax.tree.map(resh, G1m.g1_from_ints(g1s))
+    q = jax.tree.map(resh, G2m.g2_from_ints(g2s))
+    out, trace = jax.jit(multi_pairing_witness)(p, q)
+    path = str(tmp_path_factory.mktemp("wit") / "multi_witness.npz")
+    save_pairing_witness(path, p, q, out, trace)
+    meta, data = load_pairing_witness(path)
+    return meta, data
+
+
+def test_constraints_accept_k2_witness(multi_witness_file):
+    meta, data = multi_witness_file
+    assert meta["k"] == 2
+    # K=2 mid layout: zero-digit steps commit 1 mid, add steps 3
+    assert data["f_mid"].shape[0] == 39 * 1 + 25 * 3
+    assert data["ep_mid"].shape[0] == 3
+    report = check_pairing_constraints(meta, data)
+    assert report["fq12_mul.s0.c0"] > 0
+    assert report["traj_add.1.slope.c0"] > 0
+
+
+K2_PERTURB = [
+    # per-pair (k=1) columns: the K-loop indexing is what these catch
+    ("tg_lines", (10, 1, 0, 1, 0, 4)),
+    ("ch_lines", (3, 1, 0, 2, 1, 6)),
+    ("r_affine_x", (70, 1, 0, 0, 2)),
+    ("ch_mu", (4, 1, 0, 1, 3)),
+    ("f_mid", (50, 0, 8, 2)),      # a chord-stage mid of the K=2 chain
+    ("ep_mid", (2, 0, 11, 4)),     # pair-1 epilogue intermediate
+    ("ep_lines", (1, 1, 0, 0, 0, 3)),
+]
+
+
+@pytest.mark.parametrize("entry,index", K2_PERTURB)
+def test_k2_perturbation_rejected(multi_witness_file, entry, index):
+    meta, data = multi_witness_file
+    data = {k: v.copy() for k, v in data.items()}
+    data[entry][index] += 1
+    with pytest.raises(ConstraintError):
+        check_pairing_constraints(meta, data)

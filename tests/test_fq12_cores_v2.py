@@ -122,3 +122,44 @@ def test_edge_values():
         out, out_set = collect_out()
         OK._sq_core_v2(lambda c, l: a[(c, l)], out_set)
         assert unpack(out) == list(o.fq12_mul(xs, xs))
+
+
+# --- v3 cores (two-level Karatsuba) — THE production dense-mul core -------
+# _mul_core_v3 is wired into _mul_kernel_v2 and every fused pow ladder
+# (ops/fused_kernels.py); these eager cases make CPU CI fail if its term
+# table regresses. _sq_core_v3 is probe-only (measured neutral) but kept
+# bit-exact here so a future adoption starts from a tested core.
+
+
+def test_mul_core_v3_dense():
+    xs, ys = rand12(), rand12()
+    a, b = pack(xs), pack(ys)
+    out, out_set = collect_out()
+    OK._mul_core_v3(lambda c, l: a[(c, l)], lambda c, l: b[(c, l)], out_set)
+    assert unpack(out) == list(o.fq12_mul(xs, ys))
+
+
+def test_sq_core_v3():
+    xs = rand12()
+    a = pack(xs)
+    out, out_set = collect_out()
+    OK._sq_core_v3(lambda c, l: a[(c, l)], out_set)
+    assert unpack(out) == list(o.fq12_mul(xs, xs))
+
+
+def test_edge_values_v3():
+    patterns = [
+        [0] * 12,
+        [1] + [0] * 11,
+        [P - 1] * 12,
+        [0, P - 1] * 6,
+    ]
+    for xs in patterns:
+        a = pack(xs)
+        out, out_set = collect_out()
+        OK._mul_core_v3(
+            lambda c, l: a[(c, l)], lambda c, l: a[(c, l)], out_set)
+        assert unpack(out) == list(o.fq12_mul(xs, xs))
+        out2, out_set2 = collect_out()
+        OK._sq_core_v3(lambda c, l: a[(c, l)], out_set2)
+        assert unpack(out2) == list(o.fq12_mul(xs, xs))

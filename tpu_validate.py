@@ -189,13 +189,16 @@ def main():
         import jax.numpy as _jnp
 
         from pairing_tpu.witness import (
+            check_pairing_constraints,
             load_pairing_witness,
             save_pairing_witness,
             verify_pairing_witness,
         )
         from pairing_tpu.witness.trace import multi_pairing_witness
 
-        K, B = 2, 512
+        # per-pair lanes must tile to whole (8, 128) blocks for the
+        # resident collect path: B = 1024 -> r_in = 8 rows per pair
+        K, B = 2, 1024
         g1s = [o.g1_mul(c.G1_GEN, RNG.randrange(1, c.R_SCALAR)) for _ in range(K * B)]
         g2s = [
             o.g2_mul((c.G2_GEN_X, c.G2_GEN_Y), RNG.randrange(1, c.R_SCALAR))
@@ -219,6 +222,9 @@ def main():
             meta, data = load_pairing_witness(path)
             assert meta["k"] == K
             assert verify_pairing_witness(meta, data, lanes=[0, 1])
+            # K=2 limb-level constraint path (shared-squaring chain with
+            # per-pair factor columns) on the hardware-generated trace
+            assert check_pairing_constraints(meta, data, lanes=[0, 1])
 
     def t_subgroup_check():
         bad = None
