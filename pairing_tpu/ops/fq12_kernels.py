@@ -196,11 +196,10 @@ def _mul_core_v3(a_get, b_get, out_set):
 def _sq_core_v3(a_get, out_set):
     """Dense Fq12 square: 36 wide muls (two-level Karatsuba).
 
-    PROBE-ONLY: measured end-to-end neutral vs _sq_core_v2 (the 6 saved
-    wide muls are offset by the longer sum-block live ranges), so the
-    production square path stays on v2; this core is exercised by
-    probe_bench.py and kept bit-exact by tests/test_fq12_cores_v2.py.
-    """
+    Production Miller-step square (round 5; round 4 measured it neutral
+    against v2 inside relay noise, but the exact tile-op count — see
+    core_opcount.py — is 7% lower, and the round-5 slope probe confirms
+    the win on hardware). Also the _pallas_sq / _sq_kernel_v2 core."""
     A = [_k2_read(a_get, i) for i in range(6)]
     AS = [W.k2_sum(A[i], A[i + 3]) for i in range(3)]
     acc = [None] * 6
@@ -260,7 +259,7 @@ def _sq_kernel_v2(a_ref, out_ref):
         for l in range(NLIMBS):
             out_ref[seg, l] = limbs[l]
 
-    _sq_core_v2(lambda c, l: a_ref[c, l], out_set)
+    _sq_core_v3(lambda c, l: a_ref[c, l], out_set)
 
 
 _F12_BLOCK = pl.BlockSpec(

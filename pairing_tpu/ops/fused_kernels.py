@@ -28,7 +28,7 @@ from . import kernel_core as K
 from .fq12_kernels import (
     _mul_core_v3,
     _sparse_core_v2,
-    _sq_core_v2,
+    _sq_core_v3,
 )
 
 DENSE = tuple(range(6))
@@ -103,7 +103,7 @@ def _miller_kernel(n_pairs, n_steps, collect, has_ep, line_bound, flag_ref,
     # kc == 0 on a loop step: f <- f^2 into fB; otherwise carry fA
     @pl.when((kc == 0) & (flag != 2))
     def _():
-        _sq_core_v2(_ref_get(fA), _ref_out(fB))
+        _sq_core_v3(_ref_get(fA), _ref_out(fB))
 
     @pl.when((kc != 0) | (flag == 2))
     def _():
@@ -742,19 +742,233 @@ def pow_x_streamed(m_arr: jnp.ndarray, interpret=None) -> jnp.ndarray:
     ent[5] = KL.kmul(m2, ent[3], interpret=interpret)
     ent[7] = KL.kmul(m2, ent[5], interpret=interpret)
 
+    # One stream row per DISTINCT signed digit (<= 8), not per occurrence:
+    # repeated digits reuse the same block (Pallas refetches only on index
+    # change), halving the stacked-stream HBM traffic vs the per-occurrence
+    # layout. Zero-digit steps keep the previous row resident.
     rows_list = []
     row_of_step = []
-    r = -1
+    row_of = {}
+    r = 0
     for t, d in enumerate(int(x) for x in digits):
         if d != 0 or t == 0:
-            e = ent[abs(d)]
-            if d < 0:
-                e = KL.kconj(e, interpret=interpret)
-            rows_list.append(e)
-            r += 1
+            if d not in row_of:
+                e = ent[abs(d)]
+                if d < 0:
+                    e = KL.kconj(e, interpret=interpret)
+                row_of[d] = len(rows_list)
+                rows_list.append(e)
+            r = row_of[d]
         row_of_step.append(r)
     stream = jnp.stack(rows_list)
     return pow_ladder_stream_pallas(
         stream, digits, np.asarray(row_of_step, np.int32),
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused hard-part chain: an Fq12 register-file program in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# hard_part_chain_k previously issued ~29 separate Pallas launches (13
+# dense muls, 4 cyclotomic squares, 6 conjugates, 7 Frobenius maps), each
+# paying a full HBM read/write of every operand (~200 MB of traffic per
+# launch pair at batch 16384).  This kernel executes the whole chain
+# (final_exp_native.rs:130-169 with mx/mx2/mx3 precomputed) as ONE
+# launch: an 8-register Fq12 file in VMEM, an SMEM program, and a fori
+# loop whose body holds one predicated block per opcode (skipped blocks
+# are free — probe-verified).  The four inputs stay in HBM and are DMA'd
+# into registers at step start, keeping VMEM to regs (8 MB) + out block.
+
+OPC_MUL, OPC_CYC, OPC_CONJ, OPC_F1, OPC_F2, OPC_F3 = range(6)
+
+#: (op, dst, a, b) schedule of the hard-part chain; dst never aliases a
+#: MUL/CYC source (CONJ/FROB are slotwise and alias-safe).  Registers
+#: r0..r3 preload m, mx, mx2, mx3; result in r5.
+HARD_CHAIN_PROG = (
+    (OPC_F1, 4, 0, 0),    # mp = frob1(m)
+    (OPC_F2, 5, 0, 0),    # mp2
+    (OPC_MUL, 6, 4, 5),   # mp*mp2
+    (OPC_F3, 4, 0, 0),    # mp3
+    (OPC_MUL, 5, 6, 4),   # y0  (held to the end)
+    (OPC_F1, 4, 3, 0),    # mx3p
+    (OPC_MUL, 6, 3, 4),   # mx3*mx3p
+    (OPC_CONJ, 6, 6, 0),  # y6
+    (OPC_CYC, 3, 6, 0),   # sq6 = y6^2        (mx3 dead)
+    (OPC_F1, 4, 2, 0),    # mx2p
+    (OPC_MUL, 6, 1, 4),   # mx*mx2p
+    (OPC_CONJ, 6, 6, 0),  # y4
+    (OPC_MUL, 4, 3, 6),   # t0a = sq6*y4
+    (OPC_CONJ, 6, 2, 0),  # y5
+    (OPC_MUL, 3, 4, 6),   # t0 = t0a*y5
+    (OPC_F1, 4, 1, 0),    # mxp               (mx dead)
+    (OPC_CONJ, 4, 4, 0),  # y3
+    (OPC_MUL, 7, 4, 6),   # t1a = y3*y5
+    (OPC_MUL, 4, 7, 3),   # t1 = t1a*t0
+    (OPC_F2, 6, 2, 0),    # y2                (mx2 dead)
+    (OPC_MUL, 7, 6, 3),   # t0b = y2*t0
+    (OPC_CYC, 3, 4, 0),   # t1b = t1^2
+    (OPC_MUL, 6, 3, 7),   # t1c = t1b*t0b
+    (OPC_CYC, 3, 6, 0),   # t1d = t1c^2
+    (OPC_CONJ, 6, 0, 0),  # y1 = conj(m)      (m dead)
+    (OPC_MUL, 7, 3, 6),   # ta = t1d*y1
+    (OPC_MUL, 4, 3, 5),   # tb = t1d*y0
+    (OPC_CYC, 3, 7, 0),   # ta2 = ta^2
+    (OPC_MUL, 5, 3, 4),   # final = ta2*tb
+)
+HARD_CHAIN_NREG = 8
+HARD_CHAIN_OUT = 5
+
+
+def _chain_kernel(n_ops, prog_ref, in_hbm, out_ref, regs, sem):
+    bt = pl.program_id(0)
+    from .klayout import _frob_prog
+
+    # DMA the four inputs into registers 0..3 (inputs stay in HBM: with
+    # an 8 MB register file there is no VMEM room for double-buffered
+    # input blocks).
+    for i in range(4):
+        dma = pltpu.make_async_copy(
+            in_hbm.at[i, :, :, pl.ds(bt * 8, 8), :],
+            regs.at[i],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+    def body(t, _):
+        op = prog_ref[t, 0]
+        dst = prog_ref[t, 1]
+        a = prog_ref[t, 2]
+        b = prog_ref[t, 3]
+
+        @pl.when(op == OPC_MUL)
+        def _():
+            def out_set(seg, limbs):
+                for l in range(NLIMBS):
+                    regs[dst, seg, l] = limbs[l]
+
+            _mul_core_v3(
+                lambda c, l: regs[a, c, l],
+                lambda c, l: regs[b, c, l],
+                out_set,
+            )
+
+        @pl.when(op == OPC_CYC)
+        def _():
+            slots_in = [
+                (
+                    [regs[a, 2 * i, l] for l in range(NLIMBS)],
+                    [regs[a, 2 * i + 1, l] for l in range(NLIMBS)],
+                )
+                for i in range(6)
+            ]
+            sq = K.k_cyc_sq(slots_in)
+            for i in range(6):
+                for l in range(NLIMBS):
+                    regs[dst, 2 * i, l] = sq[i][0][l]
+                    regs[dst, 2 * i + 1, l] = sq[i][1][l]
+
+        @pl.when(op == OPC_CONJ)
+        def _():
+            for i in range(6):
+                c0 = [regs[a, 2 * i, l] for l in range(NLIMBS)]
+                c1 = [regs[a, 2 * i + 1, l] for l in range(NLIMBS)]
+                if i % 2 == 1:
+                    c0 = K.k_neg_2p(c0)
+                    c1 = K.k_neg_2p(c1)
+                for l in range(NLIMBS):
+                    regs[dst, 2 * i, l] = c0[l]
+                    regs[dst, 2 * i + 1, l] = c1[l]
+
+        for opc, pw in ((OPC_F1, 1), (OPC_F2, 2), (OPC_F3, 3)):
+
+            @pl.when(op == opc)
+            def _(prog=_frob_prog(pw)):
+                for i, (neg_c0, neg_c1, const) in enumerate(prog):
+                    c0 = [regs[a, 2 * i, l] for l in range(NLIMBS)]
+                    c1 = [regs[a, 2 * i + 1, l] for l in range(NLIMBS)]
+                    if neg_c0:
+                        c0 = K.k_neg_2p(c0)
+                    if neg_c1:
+                        c1 = K.k_neg_2p(c1)
+                    if const is not None:
+                        g0, g1, ng1 = const
+
+                        def cmul(x, climbs):
+                            return K.k_carry(
+                                K.k_pad(
+                                    K.k_mul_const(x, climbs, K.WIDE), K.WIDE
+                                ),
+                                3,
+                            )
+
+                        w0 = [
+                            p + q
+                            for p, q in zip(cmul(c0, g0), cmul(c1, ng1))
+                        ]
+                        w1 = [
+                            p + q
+                            for p, q in zip(cmul(c0, g1), cmul(c1, g0))
+                        ]
+                        c0 = K.k_mont_reduce(w0, limb_bound=2 * SETTLED)
+                        c1 = K.k_mont_reduce(w1, limb_bound=2 * SETTLED)
+                    for l in range(NLIMBS):
+                        regs[dst, 2 * i, l] = c0[l]
+                        regs[dst, 2 * i + 1, l] = c1[l]
+
+        return 0
+
+    jax.lax.fori_loop(0, n_ops, body, 0)
+
+    for c in range(12):
+        for l in range(NLIMBS):
+            out_ref[c, l] = regs[HARD_CHAIN_OUT, c, l]
+
+
+def hard_chain_pallas(m, mx, mx2, mx3, interpret=None):
+    """The full hard-part accumulation chain as one kernel launch.
+
+    Inputs/output: KF12 [12, NLIMBS, R, 128], cyclotomic subgroup
+    (post-easy-part).  Value-identical to the 29-launch klayout chain
+    (final_exp_native.rs:130-169)."""
+    from .jit_cache import cached_jit
+
+    if interpret is None:
+        from .fq12_kernels import on_tpu
+
+        interpret = not on_tpu()
+    key = ("hard_chain", bool(interpret))
+    return cached_jit(
+        key, lambda: lambda *xs: _hard_chain_impl(xs, interpret)
+    )(m, mx, mx2, mx3)
+
+
+def _hard_chain_impl(xs, interpret):
+    stacked = jnp.stack(xs)  # [4, 12, NLIMBS, R, 128]
+    nrows = stacked.shape[3]
+    assert nrows % 8 == 0
+    prog = np.asarray(HARD_CHAIN_PROG, np.int32)
+    return pl.pallas_call(
+        partial(_chain_kernel, len(HARD_CHAIN_PROG)),
+        out_shape=jax.ShapeDtypeStruct(
+            (12, NLIMBS, nrows, 128), jnp.int32
+        ),
+        grid=(nrows // 8,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (12, NLIMBS, 8, 128), lambda bt: (0, 0, bt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (HARD_CHAIN_NREG, 12, NLIMBS, 8, 128), jnp.int32
+            ),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(jnp.asarray(prog), stacked)

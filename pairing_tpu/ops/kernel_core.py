@@ -32,6 +32,7 @@ from ..fields.fp import (
 from ..utils.bn254 import P
 
 WIDE = 2 * NLIMBS + 2  # 44
+_I31 = (1 << 31) - 1
 
 P_INT = [int(x) for x in P_LIMBS]
 NP_INT = [int(x) for x in NPRIME_LIMBS]
@@ -91,6 +92,10 @@ def k_mul_const(a: Sequence, c_limbs: Sequence[int], ncols: int) -> List:
     return [x if x is not None else zero for x in acc]
 
 
+#: max u = m*p column: 21 terms x m-limb (<= 8213) x p-limb (<= MASK).
+_U_COL_BOUND = NLIMBS * 8213 * MASK
+
+
 def k_mont_reduce(t: List, limb_bound: int = 1 << 15) -> List:
     """Montgomery reduction of a wide accumulator (len <= WIDE).
 
@@ -98,18 +103,44 @@ def k_mont_reduce(t: List, limb_bound: int = 1 << 15) -> List:
     out = (t + m*p)/R with the {0,R} low-half carry-out dichotomy.
     ``limb_bound`` is the static bound on input positions (drives the
     pre-settle round count); output limbs settled, value < 2p.
+
+    Op-count trims (round 5, both value-preserving):
+      * m is mod R by definition, so its raw product needs only NLIMBS
+        columns (the carry out of column 20 is dropped — that IS mod R).
+      * Only the low NLIMBS+1 positions need pre-settling (they feed m);
+        when ``limb_bound + _U_COL_BOUND`` fits int32 the high positions
+        stay raw until the s = u + t carry (their carry chain is absorbed
+        by the 3 s-rounds, which settle from any < 2^31 column).
+        Position NLIMBS's carry-out is explicitly pushed into position
+        NLIMBS+1 (k_carry would silently drop it on a slice).
     """
     from ..fields.fp import _rounds_needed
 
     t = k_pad(t, WIDE)
     rounds = _rounds_needed(limb_bound)
     if rounds:
-        t = k_carry(t, rounds)
+        # position NLIMBS+1 also absorbs the low part's carry-out
+        # (<= limb_bound >> 13 from round 1 plus ~1 per later round)
+        if limb_bound + (limb_bound >> RADIX_BITS) + 4 + _U_COL_BOUND < _I31:
+            n_lo = NLIMBS + 1
+            lo_t = t[:n_lo]
+            carry_into = None
+            for _ in range(rounds):
+                lo = [x & MASK for x in lo_t]
+                hi = [x >> RADIX_BITS for x in lo_t]
+                lo_t = [lo[0]] + [lo[i] + hi[i - 1] for i in range(1, n_lo)]
+                carry_into = (
+                    hi[-1] if carry_into is None else carry_into + hi[-1]
+                )
+            t = lo_t + [t[n_lo] + carry_into] + t[n_lo + 1 :]
+        else:
+            t = k_carry(t, rounds)
     lo = t[:NLIMBS]
-    m_raw = k_mul_const(lo, NP_INT, NLIMBS + 1)
+    m_raw = k_mul_const(lo, NP_INT, NLIMBS)
     # two rounds leave m limbs <= 8213 (raw cols <= 21*SETTLED*MASK =
     # 1.41e9; r1 -> 8191 + 172k, r2 -> 8191 + 21 + 1); u's raw columns
-    # then stay <= 21*8213*8191 < 2^31 and s settles in the 3 rounds below.
+    # then stay <= 21*8213*8191 < 2^31 and s settles in the 3 rounds below
+    # (r1 -> <= MASK + 2^31>>13, r2 -> <= MASK + 33, r3 -> settled).
     m = k_carry(m_raw, 2)[:NLIMBS]
     u = k_mul_const(m, P_INT, WIDE)
     s = [u[i] + t[i] for i in range(WIDE)]

@@ -134,8 +134,19 @@ def hard_part_chain_k(m, mx, mx2, mx3):
     """The hard-part accumulation chain given the three x-powers
     (final_exp_native.rs:130-169 with mx/mx2/mx3 precomputed — the shape
     the circuit side uses after the exp offload, final_exp_target.rs:
-    65-150). KF12 in/out."""
+    65-150). KF12 in/out.
+
+    On hardware the whole chain runs as ONE fused register-file kernel
+    (ops/fused_kernels.hard_chain_pallas — saves ~28 launches' HBM
+    round trips); interpret mode keeps the launch-per-op klayout chain
+    (same values, tractable CPU interpret cost per kernel)."""
     from ..ops import klayout as KL
+    from ..ops.fq12_kernels import on_tpu
+
+    if on_tpu():
+        from ..ops.fused_kernels import hard_chain_pallas
+
+        return hard_chain_pallas(m, mx, mx2, mx3)
 
     mul, conj, frob, csq = KL.kmul, KL.kconj, KL.kfrob, KL.kcyc_sq
 

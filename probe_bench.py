@@ -209,6 +209,42 @@ def _cyc_kernel(n_steps, s_ref, out_ref, fA):
         _emit(out_ref, fA)
 
 
+def _bw_kernel(n_steps, mode, s_ref, out_ref, fA, fB):
+    """VMEM traffic probe: per step move 12x21 tiles through the scratch
+    register file with minimal ALU work.
+
+      copy — fB[c,l] = fA[c,l] + 1 (252 loads + 252 stores, 252 adds)
+      red  — acc += fA[c,l]        (252 loads, 1 store, 252 adds)
+
+    Against the ALU probes this prices a VMEM load/store: if the copy
+    slope is ~252 * the add-chain per-op cost, loads/stores are ~free
+    (register-file bandwidth matches ALU); if it is much higher, the
+    cores' residual over the ALU model is memory movement."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        _seed_f(fA, s_ref)
+
+    if mode == "copy":
+        for c in range(12):
+            for l in range(NLIMBS):
+                fB[c, l] = fA[c, l] + 1
+        for c in range(12):
+            for l in range(NLIMBS):
+                fA[c, l] = fB[c, l] + 1
+    else:  # red
+        acc = fA[0, 0]
+        for c in range(12):
+            for l in range(NLIMBS):
+                acc = acc + fA[c, l]
+        fA[0, 0] = acc
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        _emit(out_ref, fA)
+
+
 def _dyn_kernel(n_steps, dynamic, idx_ref, s_ref, out_ref, fA, tab):
     """Copy 12x21 tiles from a 4-row table per step, dynamic vs static
     leading index — isolates the cost of dynamic VMEM indexing (the VM
@@ -288,6 +324,10 @@ def build(kind, n_steps, flags_val=0):
     elif kind == "cyc":
         kern, in_specs, scratch = (
             partial(_cyc_kernel, n_steps), [_stream_spec()], [scr12()])
+    elif kind in ("bwcopy", "bwred"):
+        kern = partial(_bw_kernel, n_steps, kind[2:])
+        in_specs = [_stream_spec()]
+        scratch = [scr12(), scr12()]
     elif kind in ("dyn", "stat"):
         kern = partial(_dyn_kernel, n_steps, kind == "dyn")
         in_specs = [smem(), _stream_spec()]
@@ -325,7 +365,7 @@ def timed(fn, stream, reps=10):
 
 
 ALL = ["noop", "mul", "mul3", "sq", "sq3", "sparse", "when0", "when1",
-       "cyc", "dyn", "stat", "ladder0", "ladder1"]
+       "cyc", "dyn", "stat", "bwcopy", "bwred", "ladder0", "ladder1"]
 
 
 def main():

@@ -262,3 +262,90 @@ def test_pow_ladder_w4_kernel_short():
 
     got = run(m)
     assert F12.fq12_to_int_coeffs(got) == [o.pow_fq12(m_int, e)]
+
+
+def test_hard_chain_program_schedule():
+    """Validate HARD_CHAIN_PROG (the fused chain kernel's register
+    schedule: opcode choice, register allocation, alias discipline)
+    against the oracle hard part — value-level, instant on CPU. The
+    kernel body executing it is hardware-validated by tpu_validate
+    (full pairing runs through hard_chain_pallas on TPU)."""
+    from pairing_tpu.ops.fused_kernels import (
+        HARD_CHAIN_NREG,
+        HARD_CHAIN_OUT,
+        HARD_CHAIN_PROG,
+        OPC_CONJ,
+        OPC_CYC,
+        OPC_F1,
+        OPC_F2,
+        OPC_F3,
+        OPC_MUL,
+    )
+
+    m = cyclotomic_element()
+    mx = o.pow_fq12(m, c.BN_X)
+    mx2 = o.pow_fq12(mx, c.BN_X)
+    mx3 = o.pow_fq12(mx2, c.BN_X)
+
+    regs = [None] * HARD_CHAIN_NREG
+    regs[0], regs[1], regs[2], regs[3] = m, mx, mx2, mx3
+    for op, dst, a, b in HARD_CHAIN_PROG:
+        if op == OPC_MUL:
+            assert dst != a and dst != b, "MUL output aliases an input"
+            regs[dst] = o.fq12_mul(regs[a], regs[b])
+        elif op == OPC_CYC:
+            assert dst != a, "CYC output aliases its input"
+            regs[dst] = o.fq12_mul(regs[a], regs[a])
+        elif op == OPC_CONJ:
+            regs[dst] = o.fq12_conj(regs[a])
+        elif op in (OPC_F1, OPC_F2, OPC_F3):
+            pw = {OPC_F1: 1, OPC_F2: 2, OPC_F3: 3}[op]
+            regs[dst] = o.frobenius_map(regs[a], pw)
+        else:
+            raise AssertionError(f"unknown opcode {op}")
+
+    # expected: the reference hard-part chain (final_exp_native.rs:130-169)
+    mul, conj, frob = o.fq12_mul, o.fq12_conj, o.frobenius_map
+    sq = lambda v: o.fq12_mul(v, v)
+    y0 = mul(frob(m, 1), mul(frob(m, 2), frob(m, 3)))
+    y1 = conj(m)
+    y2 = frob(mx2, 2)
+    y3 = conj(frob(mx, 1))
+    y4 = conj(mul(mx, frob(mx2, 1)))
+    y5 = conj(mx2)
+    y6 = conj(mul(mx3, frob(mx3, 1)))
+    t0 = mul(mul(sq(y6), y4), y5)
+    t1 = mul(mul(y3, y5), t0)
+    t0 = mul(y2, t0)
+    t1 = mul(sq(t1), t0)
+    t1v = sq(t1)
+    expect = mul(sq(mul(t1v, y1)), mul(t1v, y0))
+    assert regs[HARD_CHAIN_OUT] == expect
+
+
+@pytest.mark.skipif(
+    "PAIRING_SLOW_TESTS" not in __import__("os").environ,
+    reason="interpret mode unrolls the grid; slow on CPU (set PAIRING_SLOW_TESTS=1)",
+)
+def test_exp_bits_ladder_short():
+    """Interpret-mode smoke of the witness exp-offload bit ladder
+    (exp_bits_ladder_pallas) on a 5-bit exponent: out and every streamed
+    AIR row must match the oracle bit recurrence (full 64-bit schedule is
+    hardware-validated by tpu_validate's witness check)."""
+    from pairing_tpu.ops.fused_kernels import exp_bits_ladder_pallas
+
+    m = cyclotomic_element()
+    bits = [1, 0, 1, 1, 0]  # MSB first, e = 22
+    a = F12.fq12_from_int_coeffs([m])
+    arr, bs, pad = to_kernel_layout(a)
+    out, rows = exp_bits_ladder_pallas(arr, bits, interpret=True)
+
+    res = o.fq12_one()
+    for i, b in enumerate(bits):
+        res = o.fq12_mul(res, res)
+        if b:
+            res = o.fq12_mul(res, m)
+        got = F12.fq12_to_int_coeffs(from_kernel_layout(rows[i], bs, pad))[0]
+        assert got == res, f"ladder row {i} mismatch"
+    assert F12.fq12_to_int_coeffs(from_kernel_layout(out, bs, pad))[0] == res
+    assert res == o.pow_fq12(m, 22)
