@@ -140,10 +140,12 @@ def hard_part_chain_k(m, mx, mx2, mx3):
     (ops/fused_kernels.hard_chain_pallas — saves ~28 launches' HBM
     round trips); interpret mode keeps the launch-per-op klayout chain
     (same values, tractable CPU interpret cost per kernel)."""
+    import os
+
     from ..ops import klayout as KL
     from ..ops.fq12_kernels import on_tpu
 
-    if on_tpu():
+    if on_tpu() and not os.environ.get("PAIRING_NO_FUSED_CHAIN"):
         from ..ops.fused_kernels import hard_chain_pallas
 
         return hard_chain_pallas(m, mx, mx2, mx3)
