@@ -39,6 +39,13 @@ def main() -> None:
                     help="benchmark batched witness generation (BASELINE "
                     "config 4): full pairing + per-step f trace + exp "
                     "ladder rows; metric = witnesses/s")
+    ap.add_argument("--stream", type=int, default=0,
+                    help="with --witness: stream the batch through the "
+                    "chunked runner (witness.stream) in chunks of this "
+                    "size, fetching every chunk's trace to host overlapped "
+                    "with the next chunk's compute; metric = sustained "
+                    "witnesses/s INCLUDING host copy-out (the depth cap "
+                    "does not apply — residency is 2 chunks)")
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace into this directory")
     ap.add_argument("--pipeline", type=int, default=4,
@@ -102,11 +109,41 @@ def main() -> None:
         p = G1m.g1_from_ints(g1s)
         q = G2m.g2_from_ints(g2s)
 
-        def witness_fn(p, q):
-            out, tr = W.pairing_witness(p, q)
-            return out, tr["miller"]["f_steps"], tr["final_exp"]["exp_trace_rows"]
+        if args.stream:
+            from pairing_tpu.witness.stream import make_stream_fn, witness_stream
 
-        fn = jax.jit(witness_fn)
+            assert args.batch % args.stream == 0, "--stream must divide --batch"
+            sfn = make_stream_fn(
+                lambda out, tr: (
+                    out,
+                    (tr["miller"]["f_steps"],
+                     tr["final_exp"]["exp_trace_rows"]),
+                )
+            )
+
+            def fn(p, q):
+                # one full streamed pass: every chunk's trace lands on the
+                # host (numpy), copy-out overlapped with the next chunk
+                outs, traces = [], None
+                for _start, out_h, tr_h in witness_stream(
+                    p, q, args.stream, fn=sfn
+                ):
+                    outs.append(out_h)
+                    traces = tr_h
+                import numpy as _np
+
+                out_all = jax.tree.map(
+                    lambda *xs: _np.concatenate(xs, axis=0), *outs
+                )
+                return out_all, traces[0], traces[1]
+
+        else:
+
+            def witness_fn(p, q):
+                out, tr = W.pairing_witness(p, q)
+                return out, tr["miller"]["f_steps"], tr["final_exp"]["exp_trace_rows"]
+
+            fn = jax.jit(witness_fn)
     else:
         p = G1m.g1_from_ints(g1s)
         q = G2m.g2_from_ints(g2s)

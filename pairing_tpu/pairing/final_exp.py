@@ -136,16 +136,21 @@ def hard_part_chain_k(m, mx, mx2, mx3):
     the circuit side uses after the exp offload, final_exp_target.rs:
     65-150). KF12 in/out.
 
-    On hardware the whole chain runs as ONE fused register-file kernel
-    (ops/fused_kernels.hard_chain_pallas — saves ~28 launches' HBM
-    round trips); interpret mode keeps the launch-per-op klayout chain
-    (same values, tractable CPU interpret cost per kernel)."""
+    Default path: launch-per-op klayout chain. The ONE-kernel fused
+    register-file variant (ops/fused_kernels.hard_chain_pallas, ~28
+    launches' HBM round trips saved) measured ~6% SLOWER end-to-end
+    (batch 16384, pipelined: 0.266 s/batch fused vs 0.250 s unfused,
+    round 5): at this batch size the per-launch HBM traffic overlaps
+    with compute across kernels, while the fused kernel serializes the
+    whole chain through one VMEM register file. Kept behind
+    PAIRING_FUSED_CHAIN=1 as a measured-negative probe (bit-exact on
+    hardware — tpu_validate passed with it as the default)."""
     import os
 
     from ..ops import klayout as KL
     from ..ops.fq12_kernels import on_tpu
 
-    if on_tpu() and not os.environ.get("PAIRING_NO_FUSED_CHAIN"):
+    if on_tpu() and os.environ.get("PAIRING_FUSED_CHAIN"):
         from ..ops.fused_kernels import hard_chain_pallas
 
         return hard_chain_pallas(m, mx, mx2, mx3)
